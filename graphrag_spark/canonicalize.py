@@ -1,0 +1,82 @@
+"""Canonicalization: connected components via iterative label propagation.
+
+The reference's only build-time canonicalization is exact-key merge
+(core/entity_extraction.py:552-557) plus soft aliasing through
+SIMILAR_TO edges (core/graph_db.py:343-425). Per the north star we
+extend this into true canonicalization: connected components over the
+union of exact-key edges, alias-dictionary edges, and (optionally)
+high-similarity edges — computed as a hand-rolled, DataFrame-only
+label-propagation loop (no GraphFrames dependency, no RDDs).
+
+Algorithm: every node starts labeled with itself; each iteration
+propagates the min label across edges in both directions and
+re-aggregates per node; stop when no label changes. For alias-star
+graphs the diameter is ~2, so convergence is fast; the loop
+``localCheckpoint()``s each iteration to cut the growing lineage
+(SURVEY.md §4 item 1). The min-aggregation runs as an explicit salted
+two-phase reduce so a hub component's messages don't all land on one
+reducer (SURVEY.md §4 item 2); AQE skew handling stays on as backstop.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+CC_SALT_BUCKETS = 16
+MAX_ITERATIONS = 25
+
+
+def _two_phase_min(df: DataFrame, key: str, value: str, salt_buckets: int) -> DataFrame:
+    """groupBy(key).min(value) as salted two-phase reduce."""
+    return (
+        df.withColumn("salt", F.pmod(F.xxhash64(key, value), F.lit(salt_buckets)).cast("int"))
+        .groupBy(key, "salt")
+        .agg(F.min(value).alias(value))
+        .groupBy(key)
+        .agg(F.min(value).alias(value))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    salt_buckets: int = CC_SALT_BUCKETS,
+    max_iterations: int = MAX_ITERATIONS,
+) -> DataFrame:
+    """edges(src, dst) -> (node, component) where component = min node id
+    reachable. Deterministic for any input order."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    bidir = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    bidir = bidir.localCheckpoint(eager=True)
+
+    labels = (
+        bidir.select(F.col("src").alias("node"))
+        .union(bidir.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # neighbor labels flowing along edges + own label
+        msgs = (
+            bidir.join(labels, bidir.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("component"))
+            .union(labels.select("node", "component"))
+        )
+        new_labels = _two_phase_min(msgs, "node", "component", salt_buckets).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "component")

@@ -1,0 +1,232 @@
+"""Recursive character chunking + chunk quality assessment.
+
+``recursive_split`` is a from-scratch pure-Python implementation of the
+recursive character splitting algorithm the reference configures via
+LangChain (core/chunking.py:16-63: separators ["\\n\\n","\\n"," ",""],
+chunk_size=1000, chunk_overlap=200, config/settings.py:70-71). The
+algorithm is implemented from its published/public description: find the
+first separator present, split keeping the separator attached to the
+following piece, greedily merge pieces up to chunk_size with
+chunk_overlap carry-over, recurse into oversized pieces with the
+remaining separators.
+
+Offset tracking mirrors core/chunking.py:69-78 (``text.find(chunk,
+current_offset)`` with running-offset fallback); chunk ids mirror
+core/chunking.py:99 (``f"{doc_id}_chunk_{i}"``).
+
+Spark-side: ``chunk_documents`` runs the splitter as an Arrow-vectorized
+``mapInPandas`` (one Python roundtrip per batch of documents, never per
+row), and ``with_quality`` computes the reference's chunk-quality score
+(core/ocr.py:162-298) with *native* Spark expressions only — it stays
+inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame
+
+CHUNK_SIZE = 1000
+CHUNK_OVERLAP = 200
+SEPARATORS = ["\n\n", "\n", " ", ""]
+
+# quality thresholds (reference core/ocr.py:40-43)
+MIN_TEXT_RATIO = 0.15
+MAX_WHITESPACE_RATIO = 0.65
+MIN_CHUNK_LEN = 30
+MIN_WORDS_PER_LINE = 2.0
+
+
+def _split_keep_sep(text: str, sep: str) -> list[str]:
+    """Split on `sep`, keeping each separator attached to the start of
+    the following piece (the splitter's keep-separator semantics)."""
+    if sep == "":
+        return list(text)
+    parts = re.split(f"({re.escape(sep)})", text)
+    merged = [parts[i] + parts[i + 1] for i in range(1, len(parts) - 1, 2)]
+    tail = parts[-1:] if len(parts) % 2 == 0 else []
+    out = ([parts[0]] if parts[0] else []) + merged + tail
+    if len(parts) % 2 == 1 and len(parts) > 1 and parts[-1] == "":
+        pass
+    return [p for p in out if p != ""]
+
+
+def _merge_pieces(pieces: list[str], chunk_size: int, overlap: int) -> list[str]:
+    """Greedy merge with overlap carry-over."""
+    docs: list[str] = []
+    current: list[str] = []
+    total = 0
+    for p in pieces:
+        plen = len(p)
+        if total + plen > chunk_size and current:
+            doc = "".join(current).strip()
+            if doc:
+                docs.append(doc)
+            # pop from the front until within overlap budget
+            while total > overlap or (total + plen > chunk_size and total > 0):
+                total -= len(current[0])
+                current.pop(0)
+        current.append(p)
+        total += plen
+    doc = "".join(current).strip()
+    if doc:
+        docs.append(doc)
+    return docs
+
+
+def recursive_split(
+    text: str,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+    separators: list[str] | None = None,
+) -> list[str]:
+    """Recursive character split. Deterministic, pure."""
+    separators = SEPARATORS if separators is None else separators
+    if not text:
+        return []
+
+    def _go(t: str, seps: list[str]) -> list[str]:
+        sep = seps[-1] if seps else ""
+        rest: list[str] = []
+        for i, s in enumerate(seps):
+            if s == "" or s in t:
+                sep = s
+                rest = seps[i + 1 :]
+                break
+        pieces = _split_keep_sep(t, sep)
+        final: list[str] = []
+        good: list[str] = []
+        for p in pieces:
+            if len(p) < chunk_size:
+                good.append(p)
+            else:
+                if good:
+                    final.extend(_merge_pieces(good, chunk_size, overlap))
+                    good = []
+                if not rest:
+                    final.append(p)
+                else:
+                    final.extend(_go(p, rest))
+        if good:
+            final.extend(_merge_pieces(good, chunk_size, overlap))
+        return final
+
+    return [c for c in _go(text, separators) if c.strip()]
+
+
+def split_with_offsets(text: str, chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> list[tuple[str, int]]:
+    """Chunks + char offsets (reference core/chunking.py:69-78)."""
+    chunks = recursive_split(text, chunk_size, overlap)
+    out: list[tuple[str, int]] = []
+    search_from = 0
+    running = 0
+    for c in chunks:
+        idx = text.find(c, search_from)
+        if idx < 0:
+            idx = running
+        out.append((c, idx))
+        search_from = idx + 1
+        running = idx + max(1, len(c) - overlap)
+    return out
+
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("chunk_id", T.StringType()),
+        T.StructField("chunk_index", T.IntegerType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("chunk_size", T.IntegerType()),
+        T.StructField("total_chunks", T.IntegerType()),
+    ]
+)
+
+
+def chunk_documents(doc_text_df: DataFrame, chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> DataFrame:
+    """(doc_id, content) -> chunk rows via Arrow-batched mapInPandas."""
+    cols = ["doc_id", "content"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                pairs = split_with_offsets(content or "", chunk_size, overlap)
+                n = len(pairs)
+                for i, (c, off) in enumerate(pairs):
+                    rows.append((doc_id, f"{doc_id}_chunk_{i}", i, c, off, len(c), n))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "chunk_id", "chunk_index", "content", "offset", "chunk_size", "total_chunks"],
+            )
+
+    return doc_text_df.select(*cols).mapInPandas(gen, schema=CHUNK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Quality assessment — native column expressions (reference core/ocr.py
+# :162-258 score formula, :260-298 needs_ocr). Zero Python in this path.
+# ---------------------------------------------------------------------------
+
+def _quality_cols(content: Column) -> dict[str, Column]:
+    total = F.greatest(F.length(content), F.lit(1))
+    alnum = F.length(F.regexp_replace(content, r"[^A-Za-z0-9]", ""))
+    ws = F.length(content) - F.length(F.regexp_replace(content, r"\s", ""))
+    words = F.size(F.regexp_extract_all(content, F.lit(r"\S+"), F.lit(0)))
+    nonempty_lines = F.greatest(
+        F.size(F.filter(F.split(content, "\n"), lambda x: F.trim(x) != F.lit(""))),
+        F.lit(1),
+    )
+    text_ratio = alnum / total
+    ws_ratio = ws / total
+    wpl = words / nonempty_lines
+    has_artifacts = content.rlike(r"�|[^\w\s]{6,}")
+    base = 0.4 * text_ratio + 0.3 * (1 - ws_ratio) + 0.3 * F.least(wpl / 5.0, F.lit(1.0))
+    score = (
+        base
+        * F.when(has_artifacts, F.lit(0.8)).otherwise(F.lit(1.0))
+        * F.when(ws_ratio > MAX_WHITESPACE_RATIO, F.lit(0.7)).otherwise(F.lit(1.0))
+        * F.when(F.length(content) < MIN_CHUNK_LEN, F.lit(0.9)).otherwise(F.lit(1.0))
+        * F.when(wpl < MIN_WORDS_PER_LINE, F.lit(0.6)).otherwise(F.lit(1.0))
+    )
+    unreadable = (
+        (text_ratio < MIN_TEXT_RATIO)
+        | (ws_ratio > MAX_WHITESPACE_RATIO)
+        | (F.length(content) < MIN_CHUNK_LEN)
+        | (wpl < MIN_WORDS_PER_LINE)
+    )
+    return {
+        "text_ratio": text_ratio,
+        "whitespace_ratio": ws_ratio,
+        "words_per_line": wpl,
+        "has_artifacts": has_artifacts,
+        "quality_score": F.round(score, 6),
+        "needs_review": unreadable & (score < 0.3),
+    }
+
+
+def with_quality(chunks_df: DataFrame, content_col: str = "content") -> DataFrame:
+    cols = _quality_cols(F.col(content_col))
+    out = chunks_df
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+    return out
+
+
+def quality_summary(chunks_df: DataFrame) -> DataFrame:
+    """Quality-band histogram + stats (reference core/chunking.py:251-301)."""
+    s = F.col("quality_score")
+    return chunks_df.agg(
+        F.count("*").alias("n_chunks"),
+        F.round(F.avg(s), 6).alias("avg_score"),
+        F.round(F.min(s), 6).alias("min_score"),
+        F.round(F.max(s), 6).alias("max_score"),
+        F.sum(F.when(s >= 0.8, 1).otherwise(0)).alias("high_quality"),
+        F.sum(F.when((s >= 0.5) & (s < 0.8), 1).otherwise(0)).alias("medium_quality"),
+        F.sum(F.when(s < 0.5, 1).otherwise(0)).alias("low_quality"),
+    )

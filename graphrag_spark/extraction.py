@@ -1,0 +1,173 @@
+"""Deterministic mention/triple extraction over chunk text.
+
+The reference extracts entities/relationships per chunk with an LLM call
+(core/entity_extraction.py:448-472) and parses a pipe-delimited format
+(:389-434). We keep that exact *output contract* but replace the LLM
+with a deterministic rule-based extractor (``det_extract_response``) —
+an alias-dictionary matcher over the chunk text — so results are
+reproducible and oracle-checkable. The same function is used by both
+the Spark pipeline and the pure-Python reference-port oracle, so triple
+P/R measures pipeline-plumbing agreement (parse → normalize → filter →
+dedup → semijoin → pair-group), not extractor luck.
+
+Spark-side this is one Arrow-batched ``mapInPandas`` over chunks: the
+compiled alias automaton is built once per Python worker (module-level
+cache), the regex engine does the matching in C, and the output is a
+long-format DataFrame split downstream into mentions and raw
+relationships. At 100 TB the stage is embarrassingly parallel: no
+shuffle, input partitions map 1:1 to output partitions.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from functools import lru_cache
+
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+from .vocab import build_vocabulary
+
+# relationship co-occurrence window in characters (two mentions within
+# this distance in a chunk produce a relationship candidate)
+REL_WINDOW = 300
+REL_DESCRIPTION = "co-occurs with"
+
+# parse regexes — same shape as reference entity_extraction.py:389-434
+ENTITY_LINE_RE = re.compile(
+    r"^- Name: ([^|]+?) \| Type: ([^|]+?) \| Importance: ([\d.]+) \| Description: (.*)$"
+)
+REL_LINE_RE = re.compile(
+    r"^- Source: ([^|]+?) \| Target: ([^|]+?) \| Strength: ([\d.]+) \| Description: (.*)$"
+)
+
+
+@lru_cache(maxsize=1)
+def _matcher() -> tuple[re.Pattern, dict[str, tuple[str, float]]]:
+    """Compiled alternation over all alias surface forms (longest-first
+    so multi-word aliases win), plus surface -> (messy_type, prior)."""
+    _, aliases = build_vocabulary()
+    info: dict[str, tuple[str, float]] = {}
+    for a in aliases:
+        s = " ".join(a.alias.split())
+        if not s:
+            continue
+        # first writer wins — deterministic because build_vocabulary is
+        info.setdefault(s, (a.entity_type, a.prior))
+    keys = sorted(info.keys(), key=lambda s: (-len(s), s))
+    pat = re.compile(r"(?<!\w)(" + "|".join(re.escape(k) for k in keys) + r")(?!\w)")
+    return pat, info
+
+
+def det_extract_response(chunk_text: str) -> str:
+    """Deterministic stand-in for the reference's per-chunk LLM call.
+
+    Emits the reference's pipe-delimited response format
+    (entity_extraction.py:340-367): an ENTITIES section and a
+    RELATIONSHIPS section. Entities = alias-dictionary matches;
+    relationships = co-occurrence within REL_WINDOW chars, strength
+    scaled by pair frequency in the chunk.
+    """
+    pat, info = _matcher()
+    matches = [(m.start(), m.group(1)) for m in pat.finditer(chunk_text)]
+    if not matches:
+        return "ENTITIES:\nRELATIONSHIPS:\n"
+
+    lines = ["ENTITIES:"]
+    seen: set[str] = set()
+    for _, surface in matches:
+        if surface in seen:
+            continue
+        seen.add(surface)
+        etype, prior = info[surface]
+        lines.append(
+            f"- Name: {surface} | Type: {etype} | Importance: {prior:.2f} "
+            f"| Description: {surface} appears in context as {etype.lower()}"
+        )
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    for i in range(len(matches)):
+        for j in range(i + 1, len(matches)):
+            if matches[j][0] - matches[i][0] > REL_WINDOW:
+                break
+            a, b = matches[i][1], matches[j][1]
+            if a == b:
+                continue
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+
+    lines.append("RELATIONSHIPS:")
+    for (a, b), cnt in pair_counts.items():
+        strength = round(min(0.4 + 0.1 * min(cnt, 5), 0.9), 2)
+        lines.append(
+            f"- Source: {a} | Target: {b} | Strength: {strength:.2f} "
+            f"| Description: {REL_DESCRIPTION}"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def parse_extraction_response(response: str) -> tuple[list[dict], list[dict]]:
+    """Parse the pipe format (reference entity_extraction.py:389-434);
+    importance/strength clamped to [0,1]."""
+    entities: list[dict] = []
+    rels: list[dict] = []
+    for line in response.splitlines():
+        line = line.strip()
+        m = ENTITY_LINE_RE.match(line)
+        if m:
+            name, etype, imp, desc = m.groups()
+            entities.append(
+                {
+                    "name": name.strip(),
+                    "type": etype.strip(),
+                    "importance": max(0.0, min(1.0, float(imp))),
+                    "description": desc.strip(),
+                }
+            )
+            continue
+        m = REL_LINE_RE.match(line)
+        if m:
+            src, dst, strength, desc = m.groups()
+            rels.append(
+                {
+                    "source": src.strip(),
+                    "target": dst.strip(),
+                    "strength": max(0.0, min(1.0, float(strength))),
+                    "description": desc.strip(),
+                }
+            )
+    return entities, rels
+
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_id", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # 'entity' | 'rel'
+        T.StructField("name", T.StringType()),  # entity name | rel source
+        T.StructField("type_or_target", T.StringType()),
+        T.StructField("score", T.DoubleType()),  # importance | strength
+        T.StructField("description", T.StringType()),
+    ]
+)
+
+
+def extract_chunks(chunks_df: DataFrame) -> DataFrame:
+    """chunks(doc_id, chunk_id, content) -> long-format extraction rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for chunk_id, doc_id, content in zip(pdf["chunk_id"], pdf["doc_id"], pdf["content"]):
+                ents, rels = parse_extraction_response(det_extract_response(content or ""))
+                for e in ents:
+                    rows.append((chunk_id, doc_id, "entity", e["name"], e["type"], e["importance"], e["description"]))
+                for r in rels:
+                    rows.append((chunk_id, doc_id, "rel", r["source"], r["target"], r["strength"], r["description"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["chunk_id", "doc_id", "kind", "name", "type_or_target", "score", "description"],
+            )
+
+    return chunks_df.select("chunk_id", "doc_id", "content").mapInPandas(gen, schema=EXTRACT_SCHEMA)

@@ -1,0 +1,102 @@
+"""Entity dedup + alias-dictionary linking.
+
+Dedup semantics mirror the reference's per-chunk and global entity merge
+(core/entity_extraction.py:300-338, 552-557): key = normalized name
+(case-insensitive), merged source_chunks union, longest description,
+mean importance. The reference's pairwise-sequential mean is
+order-dependent (SURVEY.md §7.2); we use the exact mean — documented
+divergence that does not affect (subj, pred, obj) P/R.
+
+Scale design: this is the pipeline's hottest shuffle (hub entities show
+up in a large fraction of all chunks — Zipfian by construction). The
+aggregation is **explicitly two-phase with a salt key**: phase 1 groups
+by (name_key, salt) so a hub entity's partial state is spread over
+``salt_buckets`` reducers, phase 2 merges the tiny per-salt partials.
+AQE skew-join splitting stays on as a backstop (session.py). The alias
+dictionary join is an explicit ``F.broadcast`` — the dictionary is
+O(10^4) rows and must never shuffle the mention side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .normalize import py_norm_name
+from .vocab import aliases_as_rows
+
+SALT_BUCKETS = 16
+
+
+def dedup_entities(mentions: DataFrame, salt_buckets: int = SALT_BUCKETS) -> DataFrame:
+    """Normalized mentions -> one row per distinct entity surface key.
+
+    Output: name_key, display_name, entity_type, importance,
+    description, source_chunks, n_mentions.
+    """
+    m = mentions.withColumn("name_key", F.lower(F.col("name")))
+
+    # E9: per-chunk dedup (same key extracted twice in one chunk)
+    per_chunk = m.groupBy("chunk_id", "name_key").agg(
+        F.max_by("name", F.struct(F.col("importance"), F.col("name"))).alias("name"),
+        F.max_by("entity_type", F.struct(F.col("importance"), F.col("entity_type"))).alias("entity_type"),
+        F.avg("importance").alias("importance"),
+        F.max_by("description", F.struct(F.length("description"), F.col("description"))).alias("description"),
+    )
+
+    # E10/E11: global dedup — explicit salted two-phase aggregation
+    salted = per_chunk.withColumn(
+        "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt_buckets)).cast("int")
+    )
+    partial = salted.groupBy("name_key", "salt").agg(
+        F.sum("importance").alias("imp_sum"),
+        F.count("*").alias("cnt"),
+        F.collect_set("chunk_id").alias("chunks_part"),
+        F.max_by("description", F.struct(F.length("description"), F.col("description"))).alias("description"),
+        F.min("name").alias("display_name"),
+        F.max("importance").alias("max_imp"),
+        F.max_by("entity_type", F.struct(F.col("importance"), F.col("entity_type"))).alias("entity_type"),
+    )
+    final = partial.groupBy("name_key").agg(
+        (F.sum("imp_sum") / F.sum("cnt")).alias("importance"),
+        F.sum("cnt").alias("n_mentions"),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("chunks_part")))).alias("source_chunks"),
+        F.max_by("description", F.struct(F.length("description"), F.col("description"))).alias("description"),
+        F.min("display_name").alias("display_name"),
+        F.max_by("entity_type", F.struct(F.col("max_imp"), F.col("entity_type"))).alias("entity_type"),
+    )
+    return final.select(
+        "name_key", "display_name", "entity_type",
+        F.round("importance", 6).alias("importance"),
+        "description", "source_chunks", "n_mentions",
+    )
+
+
+def alias_dictionary(spark: SparkSession) -> DataFrame:
+    """The broadcast side of the link join (FIXTURES.md §2): one row per
+    normalized alias surface -> canonical entity, with link prior."""
+    rows = [
+        (py_norm_name(alias).lower(), canonical, etype, float(prior))
+        for alias, canonical, etype, prior in aliases_as_rows()
+    ]
+    df = spark.createDataFrame(rows, "alias_key string, canonical_name string, entity_type string, prior double")
+    return df.groupBy("alias_key").agg(
+        F.max_by("canonical_name", F.struct(F.col("prior"), F.col("canonical_name"))).alias("canonical_name"),
+        F.max_by("entity_type", F.struct(F.col("prior"), F.col("entity_type"))).alias("canonical_type"),
+        F.max("prior").alias("prior"),
+    )
+
+
+def link_entities(entities: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Entity-link scoring via broadcast alias-dictionary join (J3).
+
+    Adds: canonical_name (dictionary hit or self), link_score.
+    """
+    joined = entities.join(F.broadcast(aliases), entities.name_key == aliases.alias_key, "left")
+    return joined.select(
+        entities["*"],
+        F.coalesce(F.col("canonical_name"), F.col("display_name")).alias("canonical_name"),
+        F.coalesce(F.col("canonical_type"), entities["entity_type"]).alias("canonical_type"),
+        F.coalesce(F.col("prior"), F.lit(0.5)).alias("link_score"),
+        F.col("alias_key").isNotNull().alias("dictionary_hit"),
+    )

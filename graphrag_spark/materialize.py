@@ -1,0 +1,162 @@
+"""Graph materialization: canonical nodes, mentions, triples.
+
+Replaces the reference's per-row Neo4j MERGE writes (core/graph_db.py:
+94-104, 174-203, 799-829, 1005-1049) with set-oriented DataFrame jobs
+writing partitioned parquet tables (Iceberg-ready layout: the writer is
+a single seam — swap ``.parquet(path)`` for ``.writeTo(table)`` when an
+Iceberg catalog is configured).
+
+Triple identity follows SURVEY.md §2 A7/E13: unordered (subj, obj) pair
+of canonical entity keys; the surviving (strength, description,
+direction) is the reference's last-writer-wins MERGE semantics made
+deterministic — survivor = max strength, then lexicographically
+greatest description/direction (verified against the oracle port).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .canonicalize import connected_components
+
+
+def canonical_map(linked: DataFrame) -> DataFrame:
+    """linked entities (linking.link_entities output) ->
+    (name_key, canonical_name, canonical_type, entity_id, ...) after
+    connected-components canonicalization.
+
+    CC node space: surface name_keys ∪ lowercased dictionary canonical
+    names; edges connect each surface to its link target. The component
+    representative is the member maximizing (dictionary_hit,
+    importance, canonical_name) — deterministic.
+    """
+    edges = linked.select(
+        F.col("name_key").alias("src"),
+        F.lower(F.col("canonical_name")).alias("dst"),
+    )
+    labels = connected_components(edges)
+
+    members = linked.join(labels, linked.name_key == labels.node, "left").select(
+        linked["*"],
+        F.coalesce(F.col("component"), F.col("name_key")).alias("component"),
+    )
+    reps = members.groupBy("component").agg(
+        F.max_by(
+            "canonical_name",
+            F.struct(
+                F.col("dictionary_hit").cast("int"),
+                F.col("link_score"),
+                F.round(F.col("importance"), 6),
+                F.col("canonical_name"),
+            ),
+        ).alias("rep_name"),
+        F.max_by(
+            "canonical_type",
+            F.struct(
+                F.col("dictionary_hit").cast("int"),
+                F.col("link_score"),
+                F.round(F.col("importance"), 6),
+                F.col("canonical_name"),
+            ),
+        ).alias("rep_type"),
+    )
+    return members.join(reps, "component").select(
+        "name_key",
+        F.col("rep_name").alias("canonical_name"),
+        F.col("rep_type").alias("canonical_type"),
+        F.substring(F.md5(F.lower(F.col("rep_name"))), 1, 16).alias("entity_id"),
+        "importance",
+        "description",
+        "source_chunks",
+        "n_mentions",
+        "link_score",
+        "dictionary_hit",
+        "component",
+    )
+
+
+def build_nodes(cmap: DataFrame) -> DataFrame:
+    """One row per canonical entity (reference 'Entity' node,
+    core/graph_db.py:21-31): merge all member surfaces."""
+    return cmap.groupBy("entity_id", "canonical_name", "canonical_type").agg(
+        F.round(F.sum(F.col("importance") * F.col("n_mentions")) / F.sum("n_mentions"), 6).alias("importance"),
+        F.max_by("description", F.struct(F.length("description"), F.col("description"))).alias("description"),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("source_chunks")))).alias("source_chunks"),
+        F.sum("n_mentions").alias("n_mentions"),
+        F.count("*").alias("n_surface_forms"),
+    ).withColumnRenamed("canonical_name", "name").withColumnRenamed("canonical_type", "entity_type")
+
+
+def build_mentions(normalized_mentions: DataFrame, cmap: DataFrame) -> DataFrame:
+    """CONTAINS_ENTITY analog (core/graph_db.py:1038-1049):
+    (chunk_id, doc_id, entity_id) distinct."""
+    m = normalized_mentions.withColumn("name_key", F.lower(F.col("name")))
+    return (
+        m.join(cmap.select("name_key", "entity_id"), "name_key")
+        .select("chunk_id", "doc_id", "entity_id")
+        .distinct()
+    )
+
+
+def build_triples(normalized_rels: DataFrame, cmap: DataFrame) -> DataFrame:
+    """RELATED_TO analog with undirected-pair last-writer-wins semantics
+    (core/graph_db.py:1005-1036; entity_extraction.py:564-571).
+
+    Both endpoints must resolve to surviving canonical entities (E12
+    semijoin — inner joins here). Pair key = unordered canonical names;
+    survivor = max (strength, description, direction, chunk).
+    """
+    cm = cmap.select("name_key", "canonical_name").distinct()
+    r = (
+        normalized_rels.withColumn("src_key", F.lower(F.col("source")))
+        .withColumn("dst_key", F.lower(F.col("target")))
+    )
+    resolved = (
+        r.join(cm.withColumnRenamed("name_key", "src_key").withColumnRenamed("canonical_name", "subj"), "src_key")
+        .join(cm.withColumnRenamed("name_key", "dst_key").withColumnRenamed("canonical_name", "obj"), "dst_key")
+        .filter(F.col("subj") != F.col("obj"))
+    )
+    paired = resolved.select(
+        F.least(F.upper("subj"), F.upper("obj")).alias("pair_lo"),
+        F.greatest(F.upper("subj"), F.upper("obj")).alias("pair_hi"),
+        "subj",
+        "obj",
+        "strength",
+        "description",
+        "chunk_id",
+    )
+    return (
+        paired.groupBy("pair_lo", "pair_hi")
+        .agg(
+            F.max_by(
+                F.struct("subj", "obj", "strength", "description"),
+                F.struct(F.col("strength"), F.col("description"), F.col("subj"), F.col("chunk_id")),
+            ).alias("w"),
+            F.sort_array(F.collect_set("chunk_id")).alias("source_chunks"),
+            F.count("*").alias("n_observations"),
+        )
+        .select(
+            F.col("w.subj").alias("subj"),
+            F.col("w.description").alias("pred"),
+            F.col("w.obj").alias("obj"),
+            F.col("w.strength").alias("strength"),
+            "source_chunks",
+            "n_observations",
+        )
+    )
+
+
+def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None, buckets: int | None = None, bucket_col: str | None = None) -> None:
+    """Partitioned parquet writer (Iceberg-ready seam). If bucket_col is
+    given, adds a hash-bucket partition column for balanced files and
+    co-located downstream joins."""
+    out = df
+    parts = list(partition_by or [])
+    if bucket_col is not None and buckets:
+        out = out.withColumn("bucket", F.pmod(F.xxhash64(bucket_col), F.lit(buckets)).cast("int"))
+        parts.append("bucket")
+    w = out.write.mode("overwrite")
+    if parts:
+        w = w.partitionBy(*parts)
+    w.parquet(path)

@@ -1,0 +1,139 @@
+"""Entity name/type normalization + low-value filtering.
+
+Reference semantics: name normalization (core/entity_extraction.py:
+223-246 — whitespace collapse, punctuation strip keeping word chars /
+space / - . ( ) /, sub-floor canonicalization, trailing-parenthetical
+strip), type normalization (:248-271 — uppercase + mapping table ->
+canonical 10 types, default CONCEPT), low-value entity filter (:273-298,
+:129-148 — importance<0.3, stopword/pronoun/generic/numeric patterns).
+
+Two implementations with identical behavior, tested against each other:
+``norm_*_col`` (native Spark Column expressions — WholeStageCodegen,
+used by the pipeline) and ``py_norm_*`` (pure Python — used by the
+reference-port oracle and property tests).
+"""
+
+from __future__ import annotations
+
+import re
+from itertools import chain
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .vocab import TYPE_ALIASES
+
+# -- name normalization ------------------------------------------------------
+
+_PUNCT_RE = r"[^\w\s\-\.\(\)/]"
+_TRAILING_PAREN_RE = r"\s*\([^)]*\)\s*$"
+_SUBFLOOR_RE = r"(?i)sub[\s\-]+floor"
+
+
+def norm_name_col(name: Column) -> Column:
+    c = F.regexp_replace(name, _PUNCT_RE, "")
+    c = F.regexp_replace(c, _SUBFLOOR_RE, "subfloor")
+    c = F.regexp_replace(c, _TRAILING_PAREN_RE, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    # strip trailing dots/commas left by punctuation-adjacent mentions
+    c = F.regexp_replace(c, r"[\.\s]+$", "")
+    return c
+
+
+def py_norm_name(name: str) -> str:
+    c = re.sub(_PUNCT_RE, "", name or "")
+    c = re.sub(_SUBFLOOR_RE, "subfloor", c)
+    c = re.sub(_TRAILING_PAREN_RE, "", c)
+    c = re.sub(r"\s+", " ", c)
+    c = c.strip()
+    c = re.sub(r"[\.\s]+$", "", c)
+    return c
+
+
+# -- type normalization ------------------------------------------------------
+
+def _type_map_col() -> Column:
+    return F.create_map(*[F.lit(x) for x in chain.from_iterable(TYPE_ALIASES.items())])
+
+
+def norm_type_col(etype: Column) -> Column:
+    key = F.upper(F.trim(F.regexp_replace(etype, r"\s*\([^)]*\)\s*$", "")))
+    return F.coalesce(_type_map_col()[key], F.lit("CONCEPT"))
+
+
+def py_norm_type(etype: str) -> str:
+    key = re.sub(r"\s*\([^)]*\)\s*$", "", etype or "").strip().upper()
+    return TYPE_ALIASES.get(key, "CONCEPT")
+
+
+# -- low-value filter --------------------------------------------------------
+
+MIN_IMPORTANCE = 0.3
+
+LOW_VALUE_PATTERNS = [
+    r"(?i)^(the|this|that|these|those|it|they|he|she|we|you|i|a|an)$",
+    r"(?i)^(data|information|system|systems|document|documents|overview|item|items|thing|things|stuff|people)$",
+    r"(?i)^(various|several|many|some|other|misc|miscellaneous)\b.*$",
+    r"^\d{1,3}$",
+    r"^.{0,2}$",
+]
+GENERIC_CONCEPT_PATTERNS = [
+    r"(?i)^(concept|idea|topic|theory|approach|method|process)s?$",
+    r"(?i)^(general|common|basic)\b.*$",
+    r"(?i)^\w+ing$",
+]
+_LOW_RE = [re.compile(p) for p in LOW_VALUE_PATTERNS]
+_GEN_RE = [re.compile(p) for p in GENERIC_CONCEPT_PATTERNS]
+
+
+def is_low_value_col(name: Column, etype: Column, importance: Column) -> Column:
+    low = importance < MIN_IMPORTANCE
+    for p in LOW_VALUE_PATTERNS:
+        low = low | name.rlike(p)
+    generic = F.lit(False)
+    for p in GENERIC_CONCEPT_PATTERNS:
+        generic = generic | name.rlike(p)
+    low = low | ((etype == "CONCEPT") & (importance < 0.6) & generic)
+    return low
+
+
+def py_is_low_value(name: str, etype: str, importance: float) -> bool:
+    if importance < MIN_IMPORTANCE:
+        return True
+    for p in _LOW_RE:
+        if p.match(name):
+            return True
+    if etype == "CONCEPT" and importance < 0.6:
+        for p in _GEN_RE:
+            if p.match(name):
+                return True
+    return False
+
+
+def normalize_mentions(mentions_raw: DataFrame) -> DataFrame:
+    """Extraction rows (kind='entity') -> normalized, filtered mentions."""
+    df = mentions_raw.select(
+        "chunk_id",
+        "doc_id",
+        norm_name_col(F.col("name")).alias("name"),
+        norm_type_col(F.col("type_or_target")).alias("entity_type"),
+        F.col("score").alias("importance"),
+        "description",
+    ).filter(F.col("name") != "")
+    return df.filter(~is_low_value_col(F.col("name"), F.col("entity_type"), F.col("importance")))
+
+
+def normalize_rels(rels_raw: DataFrame) -> DataFrame:
+    """Extraction rows (kind='rel') -> normalized relationship candidates."""
+    return (
+        rels_raw.select(
+            "chunk_id",
+            "doc_id",
+            norm_name_col(F.col("name")).alias("source"),
+            norm_name_col(F.col("type_or_target")).alias("target"),
+            F.col("score").alias("strength"),
+            "description",
+        )
+        .filter((F.col("source") != "") & (F.col("target") != "") & (F.col("source") != F.col("target")))
+    )

@@ -1,0 +1,184 @@
+"""End-to-end KG-construction pipeline with per-stage lineage + resume.
+
+Stage DAG (all DataFrame jobs, each committed to its own parquet dir):
+
+  documents(spans) ──> chunks ──> extracted ──> entities ──> cmap
+                                     │                        │
+                                     └────────> triples <─────┤
+                                                mentions <────┤
+                                                nodes    <────┘
+
+Each committed stage appends rows to a ``_lineage`` table (stage,
+stage_hash, partition_id, doc_id_min, doc_id_max, row_count,
+committed_at). A rerun recomputes a stage only when its stage hash
+(params + upstream hash) has no committed match — that is the
+kill/resume contract (BASELINE.json north_star; SURVEY.md §4 item 4).
+
+The reference runs this flow per-document with asyncio/threads
+(ingestion/document_processor.py:394-750); here every stage is one
+distributed job and document parallelism is Spark task parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import chunking, extraction, linking, materialize, normalize
+from .corpus import document_text
+
+LINEAGE_SCHEMA = (
+    "stage string, stage_hash string, partition_id int, doc_id_min string, "
+    "doc_id_max string, row_count long, committed_at double"
+)
+
+
+@dataclass
+class KGPipeline:
+    spark: SparkSession
+    corpus_path: str
+    work_dir: str
+    chunk_size: int = chunking.CHUNK_SIZE
+    chunk_overlap: int = chunking.CHUNK_OVERLAP
+    salt_buckets: int = linking.SALT_BUCKETS
+    buckets: int = 32
+    stage_times: dict[str, float] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------ util
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.work_dir, stage)
+
+    def _lineage_path(self) -> str:
+        return os.path.join(self.work_dir, "_lineage")
+
+    def _params_fingerprint(self) -> str:
+        return json.dumps(
+            {
+                "chunk_size": self.chunk_size,
+                "chunk_overlap": self.chunk_overlap,
+                "salt_buckets": self.salt_buckets,
+                "corpus": self.corpus_path,
+                "v": 1,
+            },
+            sort_keys=True,
+        )
+
+    def stage_hash(self, stage: str, upstream: str) -> str:
+        return hashlib.md5(f"{stage}|{upstream}|{self._params_fingerprint()}".encode()).hexdigest()
+
+    def _committed(self) -> dict[str, str]:
+        """stage -> committed stage_hash (from the lineage table)."""
+        try:
+            rows = (
+                self.spark.read.parquet(self._lineage_path())
+                .select("stage", "stage_hash")
+                .distinct()
+                .collect()
+            )
+        except Exception:
+            return {}
+        return {r["stage"]: r["stage_hash"] for r in rows}
+
+    def _commit(self, stage: str, stage_hash: str, df: DataFrame, doc_col: str | None) -> None:
+        """Append per-partition lineage rows for a just-written stage."""
+        out = self.spark.read.parquet(self._path(stage))
+        if doc_col is not None and doc_col in out.columns:
+            stats = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                F.min(doc_col).alias("doc_id_min"),
+                F.max(doc_col).alias("doc_id_max"),
+                F.count("*").alias("row_count"),
+            )
+        else:
+            stats = out.agg(F.count("*").alias("row_count")).select(
+                F.lit(-1).alias("partition_id"),
+                F.lit(None).cast("string").alias("doc_id_min"),
+                F.lit(None).cast("string").alias("doc_id_max"),
+                "row_count",
+            )
+        now = float(time.time())
+        lineage = stats.select(
+            F.lit(stage).alias("stage"),
+            F.lit(stage_hash).alias("stage_hash"),
+            "partition_id",
+            "doc_id_min",
+            "doc_id_max",
+            "row_count",
+            F.lit(now).alias("committed_at"),
+        )
+        lineage.write.mode("append").parquet(self._lineage_path())
+
+    def _run_stage(self, stage: str, upstream_hash: str, build, doc_col: str | None = "doc_id", resume: bool = True) -> tuple[DataFrame, str]:
+        h = self.stage_hash(stage, upstream_hash)
+        path = self._path(stage)
+        if resume and self._committed().get(stage) == h and os.path.exists(os.path.join(path, "_SUCCESS")):
+            return self.spark.read.parquet(path), h
+        t0 = time.time()
+        df = build()
+        df.write.mode("overwrite").parquet(path)
+        self._commit(stage, h, df, doc_col)
+        self.stage_times[stage] = time.time() - t0
+        return self.spark.read.parquet(path), h
+
+    # ---------------------------------------------------------------- stages
+
+    def run(self, resume: bool = True) -> dict[str, DataFrame]:
+        spark = self.spark
+        docs = spark.read.parquet(self.corpus_path)
+
+        chunks, h_chunks = self._run_stage(
+            "chunks",
+            "root",
+            lambda: chunking.with_quality(
+                chunking.chunk_documents(document_text(docs), self.chunk_size, self.chunk_overlap)
+            ),
+            resume=resume,
+        )
+
+        extracted, h_ex = self._run_stage(
+            "extracted", h_chunks, lambda: extraction.extract_chunks(chunks), resume=resume
+        )
+
+        mentions_norm = normalize.normalize_mentions(extracted.filter(F.col("kind") == "entity"))
+        rels_norm = normalize.normalize_rels(extracted.filter(F.col("kind") == "rel"))
+
+        entities, h_ent = self._run_stage(
+            "entities",
+            h_ex,
+            lambda: linking.link_entities(
+                linking.dedup_entities(mentions_norm, self.salt_buckets),
+                linking.alias_dictionary(spark),
+            ),
+            doc_col=None,
+            resume=resume,
+        )
+
+        cmap, h_cmap = self._run_stage(
+            "cmap", h_ent, lambda: materialize.canonical_map(entities), doc_col=None, resume=resume
+        )
+
+        nodes, _ = self._run_stage(
+            "nodes", h_cmap, lambda: materialize.build_nodes(cmap), doc_col=None, resume=resume
+        )
+        mentions, _ = self._run_stage(
+            "mentions", h_cmap, lambda: materialize.build_mentions(mentions_norm, cmap), resume=resume
+        )
+        triples, _ = self._run_stage(
+            "triples", h_cmap, lambda: materialize.build_triples(rels_norm, cmap), doc_col=None, resume=resume
+        )
+
+        return {
+            "chunks": chunks,
+            "extracted": extracted,
+            "entities": entities,
+            "cmap": cmap,
+            "nodes": nodes,
+            "mentions": mentions,
+            "triples": triples,
+        }
