@@ -68,7 +68,18 @@ def connected_components(
             .select(F.col("dst").alias("node"), F.col("component"))
             .union(labels.select("node", "component"))
         )
-        new_labels = _two_phase_min(msgs, "node", "component", salt_buckets).localCheckpoint(eager=True)
+        new_labels = _two_phase_min(msgs, "node", "component", salt_buckets)
+        # pointer doubling: jump to the label's own label (<= label,
+        # since labels are monotone non-increasing) -> O(log diameter)
+        # iterations instead of O(diameter)
+        lbl2 = new_labels.select(
+            F.col("node").alias("cnode"), F.col("component").alias("ccomp")
+        )
+        new_labels = (
+            new_labels.join(lbl2, new_labels.component == lbl2.cnode, "left")
+            .select("node", F.coalesce("ccomp", "component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -1,0 +1,57 @@
+"""Connected-components label propagation vs networkx oracle
+(SURVEY.md §5.2 item 5) — chains, stars (hub skew), cliques,
+singleton-free random graphs."""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+
+from graphrag_spark.canonicalize import connected_components
+
+
+def _check(spark, edges: list[tuple[str, str]]):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    for comp in nx.connected_components(g):
+        labels = {got[n] for n in comp}
+        assert len(labels) == 1, f"component split: {comp} -> {labels}"
+        assert labels == {min(comp)}, f"label should be min node id: {comp}"
+    assert set(got) == set(g.nodes)
+
+
+def test_chain(spark):
+    _check(spark, [(f"n{i:03d}", f"n{i+1:03d}") for i in range(30)])
+
+
+def test_star_hub(spark):
+    # hub-skew star: one hub connected to 500 leaves
+    _check(spark, [("hub", f"leaf{i:04d}") for i in range(500)])
+
+
+def test_disjoint_cliques(spark):
+    edges = []
+    for c in range(5):
+        nodes = [f"c{c}_{i}" for i in range(6)]
+        edges += [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+    _check(spark, edges)
+
+
+def test_random_graph(spark):
+    rng = np.random.RandomState(7)
+    nodes = [f"v{i:03d}" for i in range(120)]
+    edges = [
+        (nodes[int(rng.randint(len(nodes)))], nodes[int(rng.randint(len(nodes)))])
+        for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_two_stars_bridged(spark):
+    edges = [("a_hub", f"a{i}") for i in range(50)]
+    edges += [("b_hub", f"b{i}") for i in range(50)]
+    edges += [("a_hub", "b_hub")]
+    _check(spark, edges)

@@ -1,0 +1,113 @@
+"""Chunker conformance (SURVEY.md §5.2 item 2).
+
+The recursive splitter is the #1 determinism risk: chunk boundaries
+drive everything downstream. Golden + property tests."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graphrag_spark.chunking import (
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    recursive_split,
+    split_with_offsets,
+)
+
+
+def test_empty_and_short():
+    assert recursive_split("") == []
+    assert recursive_split("hello") == ["hello"]
+    assert recursive_split("  ") == []
+
+
+def test_paragraph_split_golden():
+    text = "para one here.\n\npara two here.\n\npara three here."
+    chunks = recursive_split(text, chunk_size=20, overlap=5)
+    # every paragraph fits; separators keep paragraphs intact
+    assert chunks == ["para one here.", "para two here.", "para three here."]
+
+
+def test_exact_boundary_golden():
+    text = "a" * 1000
+    chunks = recursive_split(text)
+    assert chunks == ["a" * 1000]
+
+
+def test_oversized_no_separator():
+    text = "x" * 2500
+    chunks = recursive_split(text, chunk_size=1000, overlap=200)
+    assert all(len(c) <= 1000 for c in chunks)
+    # overlap carry-over: consecutive chunks share a suffix/prefix
+    assert len(chunks) >= 3
+    joined = "".join(chunks)
+    assert set(joined) == {"x"}
+
+
+def test_word_split_overlap():
+    words = " ".join(f"w{i:03d}" for i in range(300))
+    chunks = recursive_split(words, chunk_size=100, overlap=30)
+    assert all(len(c) <= 100 for c in chunks)
+    # full coverage: every word appears in some chunk
+    covered = set()
+    for c in chunks:
+        covered.update(c.split())
+    assert covered == set(words.split())
+    # overlap: consecutive chunks share at least one word
+    for a, b in zip(chunks, chunks[1:]):
+        assert set(a.split()) & set(b.split())
+
+
+def test_unicode_preserved():
+    text = "héllo wörld éé " * 100
+    chunks = recursive_split(text, chunk_size=50, overlap=10)
+    assert all(len(c) <= 50 for c in chunks)
+    assert any("héllo" in c for c in chunks)
+
+
+def test_offsets_exact():
+    text = ("Sentence one is here. " * 20 + "\n\n") * 10
+    for chunk, off in split_with_offsets(text):
+        assert text[off : off + len(chunk)] == chunk
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="ab \n.", min_size=0, max_size=3000),
+    st.integers(min_value=20, max_value=200),
+)
+def test_property_size_and_coverage(text, chunk_size):
+    overlap = chunk_size // 5
+    chunks = recursive_split(text, chunk_size=chunk_size, overlap=overlap)
+    for c in chunks:
+        assert len(c) <= chunk_size
+        assert c.strip() == c and c != ""
+    # non-whitespace content is preserved (stripping only removes ws)
+    assert sum(len(c.replace(" ", "").replace("\n", "")) for c in chunks) >= len(
+        text.replace(" ", "").replace("\n", "")
+    ) - 0  # every non-ws char must land in >=1 chunk
+    nonws = len(text.replace(" ", "").replace("\n", ""))
+    got = sum(len(c.replace(" ", "").replace("\n", "")) for c in chunks)
+    assert got >= nonws
+
+
+def test_determinism():
+    text = "deterministic input " * 200
+    assert recursive_split(text) == recursive_split(text)
+    assert split_with_offsets(text) == split_with_offsets(text)
+
+
+def test_chunk_id_contract(spark, corpus_path):
+    """chunk ids follow f'{doc_id}_chunk_{i}' (reference core/chunking.py:99)."""
+    from graphrag_spark.chunking import chunk_documents
+    from graphrag_spark.corpus import document_text
+
+    docs = spark.read.parquet(corpus_path)
+    chunks = chunk_documents(document_text(docs)).limit(50).collect()
+    for r in chunks:
+        assert r["chunk_id"] == f"{r['doc_id']}_chunk_{r['chunk_index']}"
+        assert 0 <= r["offset"]
+        assert r["chunk_size"] == len(r["content"])
+        assert len(r["content"]) <= CHUNK_SIZE
+        assert CHUNK_OVERLAP < CHUNK_SIZE

@@ -1,0 +1,101 @@
+"""End-to-end triple P/R harness (SURVEY.md §5.2 item 4) + resume tests
+(item 6): the Spark pipeline must match the pure-Python reference-port
+oracle with P/R >= 0.95 (BASELINE.json gate; in practice we hold 1.0),
+and a rerun must skip committed stages and produce identical tables."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphrag_spark.oracle.refport import precision_recall, run_oracle, triple_keys
+from graphrag_spark.pipeline import KGPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, corpus_path, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("work"))
+    p = KGPipeline(spark, corpus_path, wd)
+    out = p.run()
+    return p, out, wd
+
+
+def test_triple_pr_vs_oracle(pipeline_out, doc_rows):
+    _, out, _ = pipeline_out
+    ours = triple_keys(
+        [r.asDict() for r in out["triples"].select("subj", "pred", "obj").collect()]
+    )
+    ref = triple_keys(run_oracle(doc_rows).triples)
+    p, r = precision_recall(ours, ref)
+    assert p >= 0.95, f"precision {p}"
+    assert r >= 0.95, f"recall {r}"
+
+
+def test_nodes_match_oracle_entities(pipeline_out, doc_rows):
+    _, out, _ = pipeline_out
+    oracle = run_oracle(doc_rows)
+    got = {r["name"].upper() for r in out["nodes"].select("name").collect()}
+    want = {oracle.cmap[k].upper() for k in oracle.entities}
+    inter = len(got & want)
+    assert inter / max(len(got), 1) >= 0.95
+    assert inter / max(len(want), 1) >= 0.95
+
+
+def test_lineage_written(pipeline_out, spark):
+    _, _, wd = pipeline_out
+    lin = spark.read.parquet(os.path.join(wd, "_lineage"))
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert {"chunks", "extracted", "entities", "cmap", "nodes", "mentions", "triples"} <= stages
+    assert lin.filter(F.col("row_count") <= 0).count() == 0
+    # chunks lineage carries doc ranges for partition-level resume audits
+    chunk_rows = lin.filter(F.col("stage") == "chunks").collect()
+    assert any(r["doc_id_min"] is not None for r in chunk_rows)
+
+
+def test_resume_skips_committed_stages(pipeline_out, spark, corpus_path):
+    p, out, wd = pipeline_out
+    before = {r["stage"]: r["committed_at"] for r in spark.read.parquet(os.path.join(wd, "_lineage")).collect()}
+    p2 = KGPipeline(spark, corpus_path, wd)
+    out2 = p2.run()
+    # no stage re-ran: no new lineage commits
+    after_df = spark.read.parquet(os.path.join(wd, "_lineage"))
+    assert after_df.count() == len(
+        [1 for _ in spark.read.parquet(os.path.join(wd, "_lineage")).collect()]
+    )
+    assert p2.stage_times == {}, f"stages re-ran: {p2.stage_times}"
+    assert out2["triples"].count() == out["triples"].count()
+
+
+def test_resume_recomputes_after_kill(pipeline_out, spark, corpus_path, tmp_path_factory):
+    """Simulated kill: copy work dir, destroy a late stage + its lineage,
+    rerun -> only downstream stages recompute, final triples identical."""
+    p, out, wd = pipeline_out
+    wd2 = str(tmp_path_factory.mktemp("work_resume"))
+    shutil.copytree(wd, wd2, dirs_exist_ok=True)
+    # drop the triples stage output (simulates dying mid-write)
+    shutil.rmtree(os.path.join(wd2, "triples"))
+    lin = spark.read.parquet(os.path.join(wd2, "_lineage")).filter(F.col("stage") != "triples")
+    lin_rows = lin.collect()
+    shutil.rmtree(os.path.join(wd2, "_lineage"))
+    spark.createDataFrame(lin_rows, lin.schema).write.parquet(os.path.join(wd2, "_lineage"))
+
+    p3 = KGPipeline(spark, corpus_path, wd2)
+    out3 = p3.run()
+    assert set(p3.stage_times) == {"triples"}, f"unexpected recompute: {p3.stage_times}"
+    a = {tuple(r) for r in out["triples"].select("subj", "pred", "obj", "strength").collect()}
+    b = {tuple(r) for r in out3["triples"].select("subj", "pred", "obj", "strength").collect()}
+    assert a == b
+
+
+def test_hub_entities_exist(pipeline_out):
+    """Zipfian injection must produce real hub skew (exercises the
+    salted aggregation path meaningfully)."""
+    _, out, _ = pipeline_out
+    top = (
+        out["nodes"].orderBy(F.desc("n_mentions")).select("n_mentions").limit(1).collect()[0][0]
+    )
+    med = out["nodes"].approxQuantile("n_mentions", [0.5], 0.01)[0]
+    assert top >= 20 * max(med, 1), f"no hub skew: top={top} median={med}"
