@@ -1,0 +1,145 @@
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples": N,
+   "triples_per_sec": X}
+
+--scaling mode (BASELINE.md protocol): runs the end-to-end KG pipeline
+at local[8] then local[32] on the same input and reports throughput at
+both plus scaling efficiency = (T32/T8)/4 — the sandbox proxy for the
+N vs 4N executor cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from graphrag_spark.corpus import spans_from_flat  # noqa: E402
+from graphrag_spark.pipeline import run_in_memory  # noqa: E402
+from graphrag_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "per_customer_topk",
+    "region_rollup",
+    "customer_order_rollup",
+    "semijoin_parts",
+    "union_accounts",
+    "cosine_topk",
+    "knn_edges",
+    "token_counts",
+    "lang_id",
+    "exact_dedup",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "media_features",
+]
+
+
+def _consume(df) -> int:
+    """Force full execution without driver-side collection."""
+    return df.count()
+
+
+def run_kg_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end KG construction over all docs in sf_dir; returns
+    (wall_sec, n_triples)."""
+    docs = spans_from_flat(spark.read.parquet(f"{sf_dir}/documents.parquet")).persist()
+    docs.count()  # corpus generation is input materialization, not pipeline time
+    t0 = time.time()
+    out = run_in_memory(spark, docs)
+    n_triples = out["triples"].count()
+    # force the remaining sinks like a real materialize job would
+    out["nodes"].count()
+    out["mentions"].count()
+    wall = time.time() - t0
+    out["extracted"].unpersist()
+    out["cmap"].unpersist()
+    docs.unpersist()
+    return wall, n_triples
+
+
+def bench_default(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="graphrag-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    kg_wall, n_triples = run_kg_pipeline(spark, sf_dir)
+    timings["kg_pipeline"] = round(kg_wall, 3)
+
+    for name in BENCH_QUERIES:
+        t = time.time()
+        _consume(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t, 3)
+    total = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return {
+        "metric": "kg-construction end-to-end + operator suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_wall, 1),
+        "cpus": cpus,
+    }
+
+
+def bench_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
+    results = {}
+    for cpus in (n_small, n_large):
+        spark = get_spark(
+            app_name=f"graphrag-scaling-{cpus}",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(cpus, 16),
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        wall, n_triples = run_kg_pipeline(spark, sf_dir)
+        results[cpus] = {"wall_sec": round(wall, 2), "triples": n_triples,
+                         "triples_per_sec": round(n_triples / wall, 1)}
+        spark.stop()
+    tps_small = results[n_small]["triples_per_sec"]
+    tps_large = results[n_large]["triples_per_sec"]
+    eff = (tps_large / tps_small) / (n_large / n_small)
+    return {
+        "metric": "scaling efficiency (local[N] vs local[4N] proxy)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "n_small": n_small,
+        "n_large": n_large,
+        "results": results,
+        "sf": sf_dir,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+    if args.scaling:
+        out = bench_scaling(args.sf_dir)
+    else:
+        out = bench_default(args.sf_dir, args.cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

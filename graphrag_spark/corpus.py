@@ -139,7 +139,12 @@ def generate_doc_spans(doc_id: int, base_text: str) -> list[dict]:
 
 def build_spans_corpus(spark: SparkSession, flat_documents_path: str) -> DataFrame:
     """Distributed corpus build: driver flat documents.parquet -> spans table."""
-    flat = spark.read.parquet(flat_documents_path).select("doc_id", "text")
+    return spans_from_flat(spark.read.parquet(flat_documents_path))
+
+
+def spans_from_flat(flat_df: DataFrame) -> DataFrame:
+    """Flat (doc_id:int64, text) rows -> spans table (mapInPandas)."""
+    flat = flat_df.select("doc_id", "text")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,245 @@
+"""Document deduplication family for large-scale training-data curation.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join), SimHash (64-bit, banded hamming search), n-gram Jaccard
+verification, and embedding-cosine near-dup (delegates to
+similarity.lsh_bucket_pairs).
+
+Scale posture: every method is shuffle-bounded by O(n * bands) candidate
+generation rather than O(n^2); verification joins only touch candidate
+pairs. Signatures are computed in Arrow-batched pandas UDFs (numpy
+vectorized over the permutation axis); band-bucket grouping is a native
+groupBy so AQE can coalesce/split it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+from .vocab import SEED
+
+_MERSENNE = (1 << 61) - 1
+
+
+# --------------------------------------------------------------- exact dedup
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one surviving id per distinct text.
+    Output: content_hash, survivor_id, n_dups."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def normalized_exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup over whitespace/case-normalized content."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        docs.select(F.md5(norm).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Word n-gram shingles -> stable 64-bit hashes.
+
+    Uses pandas' keyed siphash (``pd.util.hash_array``) — C-vectorized
+    and stable across processes/executors (Python's builtin ``hash`` is
+    per-process salted and must never be used here)."""
+    words = text.split()
+    if len(words) < n:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False)
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact n-gram Jaccard similarity (verification primitive)."""
+    sa = set(_shingle_hashes(a, n).tolist())
+    sb = set(_shingle_hashes(b, n).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+# -------------------------------------------------------------- MinHash LSH
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature: array<long>) — MinHash over word n-gram shingles.
+
+    Permutations are (a*x + b) mod p universal hashes, vectorized over
+    the permutation axis with numpy inside an Arrow batch.
+    """
+    rng = np.random.RandomState(SEED)
+    A = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    B = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", docs.schema[id_col].dataType),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingle_hashes(text or "", shingle_n).astype(np.int64) & ((1 << 61) - 1)
+                if len(sh) == 0:
+                    rows.append((did, [0] * num_perm))
+                    continue
+                # (num_perm, n_shingles) mod-p min per permutation
+                vals = (A[:, None] * sh[None, :] + B[:, None]) % _MERSENNE
+                rows.append((did, vals.min(axis=1).tolist()))
+            yield pd.DataFrame(rows, columns=["id", "signature"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs: minhash -> banded buckets -> bucket join ->
+    signature-level Jaccard estimate filter.
+
+    Output: (src, dst, est_jaccard). est_jaccard = fraction of agreeing
+    minhash components (unbiased Jaccard estimator).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.select("band", "bucket", F.col("id").alias("src"), F.col("signature").alias("sig_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("dst"), F.col("signature").alias("sig_b"))
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "sig_a", "sig_b")
+        .dropDuplicates(["src", "dst"])
+    )
+    est = cands.select(
+        "src",
+        "dst",
+        F.round(
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(num_perm)),
+            6,
+        ).alias("est_jaccard"),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word hashes (unweighted)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", docs.schema[id_col].dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingle_hashes(text or "", 1)
+                if len(sh) == 0:
+                    rows.append((did, 0))
+                    continue
+                bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+                v = (2 * bits - 1).sum(axis=0)
+                sig = int(((v >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+                rows.append((did, sig - (1 << 64) if sig >= (1 << 63) else sig))
+            yield pd.DataFrame(rows, columns=["id", "simhash"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
+    banding (any identical band -> candidate; exact hamming verify)."""
+    sigs = simhash_signatures(docs, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+        )
+        for b in range(4)
+    ]
+    banded = sigs.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select("band", "bucket", F.col("id").alias("src"), F.col("simhash").alias("ha"))
+    right = banded.select("band", "bucket", F.col("id").alias("dst"), F.col("simhash").alias("hb"))
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cands.select("src", "dst", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------- embedding near-dup
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing."""
+    from .similarity import lsh_bucket_pairs
+
+    return lsh_bucket_pairs(embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col)

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .normalize import py_norm_name
+from .normalize import py_norm_name, py_norm_type
 from .vocab import aliases_as_rows
 
 SALT_BUCKETS = 16
@@ -76,7 +76,7 @@ def alias_dictionary(spark: SparkSession) -> DataFrame:
     """The broadcast side of the link join (FIXTURES.md §2): one row per
     normalized alias surface -> canonical entity, with link prior."""
     rows = [
-        (py_norm_name(alias).lower(), canonical, etype, float(prior))
+        (py_norm_name(alias).lower(), canonical, py_norm_type(etype), float(prior))
         for alias, canonical, etype, prior in aliases_as_rows()
     ]
     df = spark.createDataFrame(rows, "alias_key string, canonical_name string, entity_type string, prior double")

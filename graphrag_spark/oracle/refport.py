@@ -34,7 +34,7 @@ def _alias_dict() -> dict[str, tuple[str, str, float]]:
     for alias, canonical, etype, prior in aliases_as_rows():
         key = py_norm_name(alias).lower()
         cur = d.get(key)
-        cand = (canonical, etype, float(prior))
+        cand = (canonical, py_norm_type(etype), float(prior))
         if cur is None or (cand[2], cand[0]) > (cur[2], cur[0]):
             d[key] = cand
     return d

@@ -39,6 +39,27 @@ LINEAGE_SCHEMA = (
 )
 
 
+def run_in_memory(spark: SparkSession, docs: DataFrame, chunk_size: int = chunking.CHUNK_SIZE, overlap: int = chunking.CHUNK_OVERLAP) -> dict[str, DataFrame]:
+    """Checkpoint-free pipeline composition (tests / flagship query):
+    same stages as KGPipeline.run but as one lazy DataFrame graph.
+    Persists the extraction output (it feeds three downstream trees)."""
+    chunks = chunking.with_quality(chunking.chunk_documents(document_text(docs), chunk_size, overlap))
+    extracted = extraction.extract_chunks(chunks).persist()
+    mentions_norm = normalize.normalize_mentions(extracted.filter(F.col("kind") == "entity"))
+    rels_norm = normalize.normalize_rels(extracted.filter(F.col("kind") == "rel"))
+    entities = linking.link_entities(linking.dedup_entities(mentions_norm), linking.alias_dictionary(spark))
+    cmap = materialize.canonical_map(entities).persist()
+    return {
+        "chunks": chunks,
+        "extracted": extracted,
+        "entities": entities,
+        "cmap": cmap,
+        "nodes": materialize.build_nodes(cmap),
+        "mentions": materialize.build_mentions(mentions_norm, cmap),
+        "triples": materialize.build_triples(rels_norm, cmap),
+    }
+
+
 @dataclass
 class KGPipeline:
     spark: SparkSession

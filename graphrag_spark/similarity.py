@@ -1,0 +1,188 @@
+"""Embedding similarity: cosine top-k, all-pairs kNN edges, ANN paths.
+
+Covers the reference's similarity surface (SURVEY.md §2 J1/J2/T1-T3:
+core/graph_db.py:222-297 chunk cosine, :343-425 entity cosine — O(n^2)
+Python loops + per-pair Neo4j MERGEs there) re-expressed as set-oriented
+Spark jobs, plus the large-scale ANN paths a 100 TB training pipeline
+needs.
+
+Scale design:
+- ``cosine_topk_query``: query-vs-corpus scoring is a *native* column
+  expression (zip_with + aggregate, double precision) — whole-stage
+  codegen, no Python, no shuffle except the final top-k.
+- ``pairwise_topk``: exact kNN edges via block-nested-loop in
+  ``applyInPandas`` (numpy matmul per block pair) — quadratic but
+  distributed; the per-doc variant partitions by doc_id exactly like
+  the reference's per-document loops.
+- ``lsh_bucket_pairs``: the scale path — random-hyperplane (sign) LSH
+  with banded buckets; candidate pairs only form within a bucket, so
+  the shuffle is O(n * bands), not O(n^2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame, Window
+
+from .vocab import SEED
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Native dot product of two array<double> columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk_query(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k of a query vector vs the corpus (T1).
+    One narrow scan + a k-row sort; fully codegen'd scoring."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6).alias("similarity"),
+    )
+    return scored.orderBy(F.desc("similarity"), F.col(id_col)).limit(k)
+
+
+def pairwise_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, top-k per left item —
+    the reference's SIMILAR_TO edge builder (J1/J2) as one job.
+
+    If ``block_col`` is given (e.g. doc_id), pairs form only within a
+    block (reference's per-document scoping, graph_db.py:239-297);
+    otherwise a single global block (test scale only — use
+    ``lsh_bucket_pairs`` at corpus scale).
+    """
+    bc = block_col or "__global__"
+    df = embeddings
+    if block_col is None:
+        df = df.withColumn(bc, F.lit(0))
+    out_schema = T.StructType(
+        [
+            T.StructField("src", df.schema[id_col].dataType),
+            T.StructField("dst", df.schema[id_col].dataType),
+            T.StructField("similarity", T.DoubleType()),
+        ]
+    )
+
+    def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        rows = []
+        for i in range(len(ids)):
+            idx = np.argsort(-sims[i], kind="stable")[:k]
+            for j in idx:
+                s = sims[i, j]
+                if s >= threshold:
+                    rows.append((ids[i], ids[j], round(float(s), 6)))
+        return pd.DataFrame(rows, columns=["src", "dst", "similarity"])
+
+    return df.groupBy(bc).applyInPandas(block_knn, schema=out_schema)
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.RandomState(SEED)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_bucket_pairs(
+    embeddings: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN near-pair candidates via sign-random-projection LSH.
+
+    Signature = sign bits of (bands*rows_per_band) random hyperplane
+    projections; items sharing any full band bucket become candidates;
+    candidates are verified with exact cosine. Shuffle volume is
+    O(n * bands). This is the 100 TB path for embedding near-dup /
+    similarity-edge construction.
+    """
+    n_planes = bands * rows_per_band
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    planes = _hyperplanes(dim, n_planes)
+    planes_b = embeddings.sparkSession.sparkContext.broadcast(planes)
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("id", embeddings.schema[id_col].dataType),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = planes_b.value
+        weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+        for pdf in batches:
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(mat) == 0:
+                yield pd.DataFrame(columns=["id", "band", "bucket"])
+                continue
+            bits = (mat @ P.T) >= 0  # (n, n_planes)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for band in range(bands):
+                seg = bits[:, band * rows_per_band : (band + 1) * rows_per_band]
+                buckets = (seg @ weights).astype(np.int64)
+                frames.append(pd.DataFrame({"id": ids, "band": band, "bucket": buckets}))
+            yield pd.concat(frames, ignore_index=True)
+
+    sigs = embeddings.select(id_col, vec_col).mapInPandas(signatures, schema=sig_schema)
+
+    left = sigs.select(F.col("band"), F.col("bucket"), F.col("id").alias("src"))
+    right = sigs.select(F.col("band"), F.col("bucket"), F.col("id").alias("dst"))
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    e = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    verified = (
+        candidates.join(e.withColumnRenamed(id_col, "src").withColumnRenamed("v", "va"), "src")
+        .join(e.withColumnRenamed(id_col, "dst").withColumnRenamed("v", "vb"), "dst")
+        .select("src", "dst", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
+    return verified
+
+
+def topk_per_item(pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Window top-k per src (reference T2/T3: per-chunk/entity top
+    similarity connections, graph_db.py:283-292, 410-419)."""
+    w = Window.partitionBy("src").orderBy(F.desc("similarity"), F.col("dst"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
