@@ -60,12 +60,13 @@ def windowed_event_stats(events: DataFrame, window: str = "5 minutes", watermark
 
 def run_windowed_stats_once(spark: SparkSession, events_path: str, out_table: str = "event_stats") -> DataFrame:
     """availableNow one-shot streaming run into a memory sink (used by
-    tests to prove stream/batch equivalence)."""
+    tests to prove stream/batch equivalence). Complete mode so windows
+    newer than the watermark are also emitted on the final trigger."""
     q = (
         windowed_event_stats(read_event_stream(spark, events_path))
         .writeStream.format("memory")
         .queryName(out_table)
-        .outputMode("append")
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )

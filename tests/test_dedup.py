@@ -1,0 +1,74 @@
+"""Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphrag_spark.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    normalized_exact_dedup,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees "
+) * 6
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different content about spark shuffle partitions " * 10),
+        (5, "  " + BASE.upper() + "  "),  # normalized dup of 1
+        (6, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    got = {r["survivor_id"]: r["n_dups"] for r in exact_dedup(docs_df).collect()}
+    assert got[1] == 2  # docs 1,2 identical
+    assert sum(got.values()) == 6
+
+
+def test_normalized_exact_dedup(spark, docs_df):
+    got = {r["survivor_id"]: r["n_dups"] for r in normalized_exact_dedup(docs_df).collect()}
+    assert got[1] == 3  # 1,2,5 collapse after case/ws normalization
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, "zzz yyy xxx www vvv") == 0.0
+    near = ngram_jaccard(BASE, BASE.replace("lazy", "sleepy"))
+    assert 0.5 < near < 1.0
+
+
+def test_minhash_finds_near_dups(spark, docs_df):
+    pairs = {(r["src"], r["dst"]): r["est_jaccard"] for r in minhash_lsh_pairs(docs_df, threshold=0.5).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup found
+    for (a, b) in pairs:
+        assert {a, b} != {4, 6}
+    assert not any(4 in p or 6 in p for p in pairs)
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, docs_df):
+    pairs = {(r["src"], r["dst"]): r["est_jaccard"] for r in minhash_lsh_pairs(docs_df, threshold=0.3).collect()}
+    true_j = ngram_jaccard(BASE, BASE.replace("lazy", "sleepy"))
+    est = pairs.get((1, 3)) or pairs.get((2, 3))
+    assert est is not None
+    assert abs(est - true_j) < 0.25  # 64-perm estimator tolerance
+
+
+def test_simhash_near_pairs(spark, docs_df):
+    got = {(r["src"], r["dst"]): r["hamming"] for r in simhash_near_pairs(docs_df, max_hamming=10).collect()}
+    assert got.get((1, 2)) == 0  # identical docs
+    assert (1, 5) not in got or got[(1, 5)] > 0  # case change shifts words
+    near = got.get((1, 3))
+    assert near is not None and near <= 10

@@ -1,0 +1,79 @@
+"""Similarity operators vs numpy brute-force oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphrag_spark.similarity import (
+    cosine_topk_query,
+    lsh_bucket_pairs,
+    pairwise_topk,
+    topk_per_item,
+)
+
+N, DIM = 60, 16
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.RandomState(3)
+    M = rng.randn(N, DIM)
+    # plant two near-duplicate pairs
+    M[10] = M[11] + rng.randn(DIM) * 0.01
+    M[20] = M[21] + rng.randn(DIM) * 0.01
+    return M
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, vecs):
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def _cos_matrix(M):
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    S = (M / n) @ (M / n).T
+    return S
+
+
+def test_cosine_topk_query_matches_numpy(spark, emb_df, vecs):
+    q = vecs[0]
+    got = cosine_topk_query(emb_df, list(q), k=5).collect()
+    sims = _cos_matrix(np.vstack([q, vecs]))[0, 1:]
+    order = np.argsort(-np.round(sims, 6), kind="stable")[:5]
+    assert [r["vec_id"] for r in got] == [int(i) for i in order]
+    for r, i in zip(got, order):
+        assert abs(r["similarity"] - round(float(sims[i]), 6)) < 1e-9
+
+
+def test_pairwise_topk_matches_numpy(spark, emb_df, vecs):
+    got = pairwise_topk(emb_df, k=3, threshold=0.2).collect()
+    S = _cos_matrix(vecs)
+    np.fill_diagonal(S, -np.inf)
+    expected = set()
+    for i in range(N):
+        idx = np.argsort(-S[i], kind="stable")[:3]
+        for j in idx:
+            if S[i, j] >= 0.2:
+                expected.add((i, int(j)))
+    assert {(r["src"], r["dst"]) for r in got} == expected
+
+
+def test_lsh_pairs_subset_of_exact_and_find_planted(spark, emb_df, vecs):
+    got = lsh_bucket_pairs(emb_df, threshold=0.9).collect()
+    S = _cos_matrix(vecs)
+    for r in got:
+        assert r["src"] < r["dst"]
+        assert abs(r["similarity"] - round(float(S[r["src"], r["dst"]]), 6)) < 1e-9
+    pairs = {(r["src"], r["dst"]) for r in got}
+    # planted near-dups (cos ~0.9999) must be found
+    assert (10, 11) in pairs
+    assert (20, 21) in pairs
+
+
+def test_topk_per_item_window(spark, emb_df):
+    pairs = pairwise_topk(emb_df, k=5, threshold=-1.0)
+    top2 = topk_per_item(pairs, k=2)
+    counts = top2.groupBy("src").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
