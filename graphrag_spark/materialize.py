@@ -93,7 +93,7 @@ def build_mentions(normalized_mentions: DataFrame, cmap: DataFrame) -> DataFrame
     (chunk_id, doc_id, entity_id) distinct."""
     m = normalized_mentions.withColumn("name_key", F.lower(F.col("name")))
     return (
-        m.join(cmap.select("name_key", "entity_id"), "name_key")
+        m.join(F.broadcast(cmap.select("name_key", "entity_id")), "name_key")
         .select("chunk_id", "doc_id", "entity_id")
         .distinct()
     )
@@ -113,8 +113,8 @@ def build_triples(normalized_rels: DataFrame, cmap: DataFrame) -> DataFrame:
         .withColumn("dst_key", F.lower(F.col("target")))
     )
     resolved = (
-        r.join(cm.withColumnRenamed("name_key", "src_key").withColumnRenamed("canonical_name", "subj"), "src_key")
-        .join(cm.withColumnRenamed("name_key", "dst_key").withColumnRenamed("canonical_name", "obj"), "dst_key")
+        r.join(F.broadcast(cm.withColumnRenamed("name_key", "src_key").withColumnRenamed("canonical_name", "subj")), "src_key")
+        .join(F.broadcast(cm.withColumnRenamed("name_key", "dst_key").withColumnRenamed("canonical_name", "obj")), "dst_key")
         .filter(F.col("subj") != F.col("obj"))
     )
     paired = resolved.select(

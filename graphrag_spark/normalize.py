@@ -111,27 +111,91 @@ def py_is_low_value(name: str, etype: str, importance: float) -> bool:
     return False
 
 
+def surface_norm_map(mentions_raw: DataFrame) -> DataFrame:
+    """Distinct (surface, messy_type) pairs -> normalized name/type plus
+    precomputed low-value pattern flags.
+
+    Scale rationale: extraction emits O(10^6..10^9) mention/rel rows but
+    only O(10^4) *distinct* surface forms (the alias vocabulary). Running
+    the 5-regex normalization chain per row burns JVM regex time
+    linearly in corpus size; running it once per distinct surface and
+    broadcast-joining back is constant in corpus size. Semantics are
+    identical (verified by tests against the per-row column functions).
+    """
+    pairs = mentions_raw.select("name", "type_or_target").distinct()
+    low_name = F.lit(False)
+    for p in LOW_VALUE_PATTERNS:
+        low_name = low_name | F.col("norm_name").rlike(p)
+    generic = F.lit(False)
+    for p in GENERIC_CONCEPT_PATTERNS:
+        generic = generic | F.col("norm_name").rlike(p)
+    return (
+        pairs.withColumn("norm_name", norm_name_col(F.col("name")))
+        .withColumn("norm_type", norm_type_col(F.col("type_or_target")))
+        .withColumn("low_name", low_name)
+        .withColumn("generic_name", generic)
+    )
+
+
+_MAX_SURFACE_MAP_ROWS = 2_000_000
+
+
+def _materialize_small(df: DataFrame, context: str) -> DataFrame:
+    """Collect a provably-small dataframe to the driver and re-create it
+    as a literal, so broadcast joins against it never re-execute its
+    (scan + shuffle) subtree — AQE otherwise re-runs that subtree once
+    per downstream query stage. The surface map is bounded by the alias
+    vocabulary (O(10^4) rows regardless of corpus size); the guard
+    protects against an extractor emitting unbounded junk."""
+    rows = df.limit(_MAX_SURFACE_MAP_ROWS + 1).collect()
+    if len(rows) > _MAX_SURFACE_MAP_ROWS:
+        raise ValueError(f"{context}: surface map exceeds {_MAX_SURFACE_MAP_ROWS} rows")
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def normalize_mentions(mentions_raw: DataFrame) -> DataFrame:
-    """Extraction rows (kind='entity') -> normalized, filtered mentions."""
-    df = mentions_raw.select(
+    """Extraction rows (kind='entity') -> normalized, filtered mentions.
+    Normalization runs on the distinct-surface map (broadcast join)."""
+    smap = _materialize_small(surface_norm_map(mentions_raw), "normalize_mentions")
+    df = mentions_raw.join(F.broadcast(smap), ["name", "type_or_target"]).select(
         "chunk_id",
         "doc_id",
-        norm_name_col(F.col("name")).alias("name"),
-        norm_type_col(F.col("type_or_target")).alias("entity_type"),
+        F.col("norm_name").alias("name"),
+        F.col("norm_type").alias("entity_type"),
         F.col("score").alias("importance"),
         "description",
+        "low_name",
+        "generic_name",
     ).filter(F.col("name") != "")
-    return df.filter(~is_low_value_col(F.col("name"), F.col("entity_type"), F.col("importance")))
+    keep = ~(
+        (F.col("importance") < MIN_IMPORTANCE)
+        | F.col("low_name")
+        | ((F.col("entity_type") == "CONCEPT") & (F.col("importance") < 0.6) & F.col("generic_name"))
+    )
+    return df.filter(keep).drop("low_name", "generic_name")
 
 
 def normalize_rels(rels_raw: DataFrame) -> DataFrame:
-    """Extraction rows (kind='rel') -> normalized relationship candidates."""
+    """Extraction rows (kind='rel') -> normalized relationship
+    candidates. Endpoint surfaces normalize via a distinct-surface map
+    (two broadcast joins), not per-row regex."""
+    names = _materialize_small(
+        rels_raw.select(F.col("name").alias("surface"))
+        .union(rels_raw.select(F.col("type_or_target").alias("surface")))
+        .distinct()
+        .withColumn("norm", norm_name_col(F.col("surface"))),
+        "normalize_rels",
+    )
+    src_map = names.select(F.col("surface").alias("name"), F.col("norm").alias("source"))
+    dst_map = names.select(F.col("surface").alias("type_or_target"), F.col("norm").alias("target"))
     return (
-        rels_raw.select(
+        rels_raw.join(F.broadcast(src_map), "name")
+        .join(F.broadcast(dst_map), "type_or_target")
+        .select(
             "chunk_id",
             "doc_id",
-            norm_name_col(F.col("name")).alias("source"),
-            norm_name_col(F.col("type_or_target")).alias("target"),
+            "source",
+            "target",
             F.col("score").alias("strength"),
             "description",
         )
