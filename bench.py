@@ -52,10 +52,22 @@ def _consume(df) -> int:
     return df.count()
 
 
-def run_kg_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+def run_kg_pipeline(spark, sf_dir: str, amplify: int = 1) -> tuple[float, int]:
     """End-to-end KG construction over all docs in sf_dir; returns
-    (wall_sec, n_triples)."""
-    docs = spans_from_flat(spark.read.parquet(f"{sf_dir}/documents.parquet")).persist()
+    (wall_sec, n_triples).
+
+    ``amplify`` deterministically replicates the flat documents table
+    (doc_id offset per replica) before span generation — used by the
+    scaling experiment so the parallel compute fraction dominates the
+    constant per-job overhead (at tiny SFs the pipeline is otherwise
+    scheduler-bound and no parallelism level helps)."""
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if amplify > 1:
+        n = flat.count()
+        flat = flat.crossJoin(spark.range(amplify).select(F.col("id").alias("rep"))).select(
+            (F.col("doc_id") + F.col("rep") * n).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+    docs = spans_from_flat(flat).persist()
     docs.count()  # corpus generation is input materialization, not pipeline time
     t0 = time.time()
     out = run_in_memory(spark, docs)
@@ -101,16 +113,17 @@ def bench_default(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def bench_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
+def bench_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32, amplify: int | None = None) -> dict:
+    amplify = amplify if amplify is not None else int(os.environ.get("SPARK_GRAFT_SCALE_AMPLIFY", "8"))
     results = {}
     for cpus in (n_small, n_large):
         spark = get_spark(
             app_name=f"graphrag-scaling-{cpus}",
             master=f"local[{cpus}]",
-            shuffle_partitions=max(cpus, 16),
+            shuffle_partitions=max(cpus * 2, 16),
         )
         spark.sparkContext.setLogLevel("ERROR")
-        wall, n_triples = run_kg_pipeline(spark, sf_dir)
+        wall, n_triples = run_kg_pipeline(spark, sf_dir, amplify=amplify)
         results[cpus] = {"wall_sec": round(wall, 2), "triples": n_triples,
                          "triples_per_sec": round(n_triples / wall, 1)}
         spark.stop()
@@ -125,6 +138,7 @@ def bench_scaling(sf_dir: str, n_small: int = 8, n_large: int = 32) -> dict:
         "n_large": n_large,
         "results": results,
         "sf": sf_dir,
+        "amplify": amplify,
     }
 
 

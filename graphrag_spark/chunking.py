@@ -176,14 +176,21 @@ def chunk_documents(doc_text_df: DataFrame, chunk_size: int = CHUNK_SIZE, overla
 # :162-258 score formula, :260-298 needs_ocr). Zero Python in this path.
 # ---------------------------------------------------------------------------
 
+_ALNUM_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+_WS_CHARS = " \t\n\r\f"
+
+
 def _quality_cols(content: Column) -> dict[str, Column]:
+    # char-class counts via translate (no per-row string/array
+    # allocation — regexp_replace/extract_all here cost ~70s per 600k
+    # chunks from GC pressure; translate + regexp_count cost ~2s)
     total = F.greatest(F.length(content), F.lit(1))
-    alnum = F.length(F.regexp_replace(content, r"[^A-Za-z0-9]", ""))
-    ws = F.length(content) - F.length(F.regexp_replace(content, r"\s", ""))
-    words = F.size(F.regexp_extract_all(content, F.lit(r"\S+"), F.lit(0)))
+    alnum = F.length(content) - F.length(F.translate(content, _ALNUM_CHARS, ""))
+    ws = F.length(content) - F.length(F.translate(content, _WS_CHARS, ""))
+    words = F.regexp_count(content, F.lit(r"\S+"))
+    # one match per line containing a non-whitespace char
     nonempty_lines = F.greatest(
-        F.size(F.filter(F.split(content, "\n"), lambda x: F.trim(x) != F.lit(""))),
-        F.lit(1),
+        F.regexp_count(content, F.lit(r"(?m)^[^\S\n]*[^\s]")), F.lit(1)
     )
     text_ratio = alnum / total
     ws_ratio = ws / total

@@ -25,6 +25,7 @@ from collections.abc import Iterator
 from functools import lru_cache
 
 import pandas as pd
+import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
@@ -109,6 +110,52 @@ def _scan_mentions(chunk_text: str) -> list[tuple[int, str]]:
     return out
 
 
+def det_extract_structured(chunk_text: str) -> tuple[list[dict], list[dict]]:
+    """Structured twin of ``parse_extraction_response(
+    det_extract_response(text))`` — bit-identical output without the
+    response-string build + regex re-parse round-trip (the hot path for
+    the Spark pipeline; ~2x per chunk). Equivalence with the contract
+    path is asserted by tests/test_extraction.py."""
+    surface_info = _surface_info()
+    matches = _scan_mentions(chunk_text)
+    if not matches:
+        return [], []
+    entities: list[dict] = []
+    seen: set[str] = set()
+    for _, surface in matches:
+        if surface in seen:
+            continue
+        seen.add(surface)
+        etype, prior = surface_info[surface]
+        entities.append(
+            {
+                "name": surface,
+                "type": etype,
+                "importance": float(f"{prior:.2f}"),
+                "description": f"{surface} appears in context as {etype.lower()}",
+            }
+        )
+    pair_counts: dict[tuple[str, str], int] = {}
+    for i in range(len(matches)):
+        for j in range(i + 1, len(matches)):
+            if matches[j][0] - matches[i][0] > REL_WINDOW:
+                break
+            a, b = matches[i][1], matches[j][1]
+            if a == b:
+                continue
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    rels = [
+        {
+            "source": a,
+            "target": b,
+            "strength": float(f"{round(min(0.4 + 0.1 * min(cnt, 5), 0.9), 2):.2f}"),
+            "description": REL_DESCRIPTION,
+        }
+        for (a, b), cnt in pair_counts.items()
+    ]
+    return entities, rels
+
+
 def det_extract_response(chunk_text: str) -> str:
     """Deterministic stand-in for the reference's per-chunk LLM call.
 
@@ -188,6 +235,110 @@ def parse_extraction_response(response: str) -> tuple[list[dict], list[dict]]:
     return entities, rels
 
 
+OCCURRENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_id", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("type_or_target", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("description", T.StringType()),
+    ]
+)
+
+# strength lookup by capped pair count, computed through the exact
+# Python float path of det_extract_structured so Spark-side derivation
+# is bit-identical
+_STRENGTHS = [float(f"{round(min(0.4 + 0.1 * min(c, 5), 0.9), 2):.2f}") for c in range(1, 6)]
+
+
+def extract_occurrences(chunks_df: DataFrame) -> DataFrame:
+    """chunks -> one row per entity mention occurrence (with char
+    position). This is the ONLY Python pass of the scaled pipeline;
+    entity rows and relationship rows are derived relationally
+    (entities_from_occurrences / rels_from_occurrences), which is
+    bit-equivalent to det_extract_structured (tested) but keeps the
+    quadratic pair expansion JVM-side with map-side partial
+    aggregation."""
+    from .session import ensure_parallelism
+
+    chunks_df = ensure_parallelism(chunks_df)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        surface_info = _surface_info()
+        for pdf in batches:
+            c_chunk, c_doc, c_pos, c_name, c_tt, c_score, c_desc = [], [], [], [], [], [], []
+            for chunk_id, doc_id, content in zip(pdf["chunk_id"], pdf["doc_id"], pdf["content"]):
+                for pos, surface in _scan_mentions(content or ""):
+                    etype, prior = surface_info[surface]
+                    c_chunk.append(chunk_id)
+                    c_doc.append(doc_id)
+                    c_pos.append(pos)
+                    c_name.append(surface)
+                    c_tt.append(etype)
+                    c_score.append(float(f"{prior:.2f}"))
+                    c_desc.append(f"{surface} appears in context as {etype.lower()}")
+            yield pd.DataFrame(
+                {
+                    "chunk_id": c_chunk,
+                    "doc_id": c_doc,
+                    "pos": c_pos,
+                    "name": c_name,
+                    "type_or_target": c_tt,
+                    "score": c_score,
+                    "description": c_desc,
+                }
+            )
+
+    return chunks_df.select("chunk_id", "doc_id", "content").mapInPandas(gen, schema=OCCURRENCE_SCHEMA)
+
+
+def entities_from_occurrences(occ: DataFrame) -> DataFrame:
+    """Occurrence rows -> per-chunk entity rows (first mention wins —
+    identical to det_extract_structured's seen-set)."""
+    return (
+        occ.groupBy("chunk_id", "name")
+        .agg(
+            F.first("doc_id").alias("doc_id"),
+            F.first("type_or_target").alias("type_or_target"),
+            F.first("score").alias("score"),
+            F.first("description").alias("description"),
+        )
+        .select(
+            "chunk_id", "doc_id", F.lit("entity").alias("kind"),
+            "name", "type_or_target", "score", "description",
+        )
+    )
+
+
+def rels_from_occurrences(occ: DataFrame, window: int = REL_WINDOW) -> DataFrame:
+    """Occurrence rows -> per-chunk relationship rows via a bounded
+    range self-join (o2 after o1, within `window` chars, different
+    surface), aggregated to ordered pair counts with the det extractor's
+    strength formula. Map-side partial aggregation compresses the
+    quadratic pair expansion before the shuffle."""
+    o1 = occ.select("chunk_id", "doc_id", F.col("pos").alias("p1"), F.col("name").alias("src"))
+    o2 = occ.select("chunk_id", F.col("pos").alias("p2"), F.col("name").alias("dst"))
+    pairs = (
+        o1.join(o2, "chunk_id")
+        .filter((F.col("p2") > F.col("p1")) & (F.col("p2") - F.col("p1") <= window) & (F.col("src") != F.col("dst")))
+    )
+    strength = F.element_at(
+        F.array(*[F.lit(s) for s in _STRENGTHS]),
+        F.least(F.count("*"), F.lit(5)).cast("int"),
+    )
+    return (
+        pairs.groupBy("chunk_id", "src", "dst")
+        .agg(F.first("doc_id").alias("doc_id"), strength.alias("score"))
+        .select(
+            "chunk_id", "doc_id", F.lit("rel").alias("kind"),
+            F.col("src").alias("name"), F.col("dst").alias("type_or_target"),
+            "score", F.lit(REL_DESCRIPTION).alias("description"),
+        )
+    )
+
+
 EXTRACT_SCHEMA = T.StructType(
     [
         T.StructField("chunk_id", T.StringType()),
@@ -201,27 +352,59 @@ EXTRACT_SCHEMA = T.StructType(
 )
 
 
-def extract_chunks(chunks_df: DataFrame) -> DataFrame:
+def extract_chunks(chunks_df: DataFrame, kinds: tuple[str, ...] = ("entity", "rel")) -> DataFrame:
     """chunks(doc_id, chunk_id, content) -> long-format extraction rows.
+
+    ``kinds`` selects which record kinds to emit. The pipeline runs two
+    slim passes (entities-only, rels-only) instead of caching one wide
+    output: re-running the extraction UDF scales with cores, while
+    building a 10^7-row columnar cache is a serial bottleneck — and on
+    a real cluster the cache would also pressure executor memory.
 
     Rebalanced by chunk (not doc) so chunk-heavy documents don't skew
     task runtimes."""
     from .session import ensure_parallelism
 
     chunks_df = ensure_parallelism(chunks_df)
+    want_entities = "entity" in kinds
+    want_rels = "rel" in kinds
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # columnar accumulation: list-of-tuples -> pd.DataFrame is
+            # the dominant cost at ~50 output rows/chunk; per-column
+            # lists + dict construction is several times faster
+            c_chunk, c_doc, c_kind, c_name, c_tt, c_score, c_desc = [], [], [], [], [], [], []
             for chunk_id, doc_id, content in zip(pdf["chunk_id"], pdf["doc_id"], pdf["content"]):
-                ents, rels = parse_extraction_response(det_extract_response(content or ""))
-                for e in ents:
-                    rows.append((chunk_id, doc_id, "entity", e["name"], e["type"], e["importance"], e["description"]))
-                for r in rels:
-                    rows.append((chunk_id, doc_id, "rel", r["source"], r["target"], r["strength"], r["description"]))
+                ents, rels = det_extract_structured(content or "")
+                if want_entities:
+                    for e in ents:
+                        c_chunk.append(chunk_id)
+                        c_doc.append(doc_id)
+                        c_kind.append("entity")
+                        c_name.append(e["name"])
+                        c_tt.append(e["type"])
+                        c_score.append(e["importance"])
+                        c_desc.append(e["description"])
+                if want_rels:
+                    for r in rels:
+                        c_chunk.append(chunk_id)
+                        c_doc.append(doc_id)
+                        c_kind.append("rel")
+                        c_name.append(r["source"])
+                        c_tt.append(r["target"])
+                        c_score.append(r["strength"])
+                        c_desc.append(r["description"])
             yield pd.DataFrame(
-                rows,
-                columns=["chunk_id", "doc_id", "kind", "name", "type_or_target", "score", "description"],
+                {
+                    "chunk_id": c_chunk,
+                    "doc_id": c_doc,
+                    "kind": c_kind,
+                    "name": c_name,
+                    "type_or_target": c_tt,
+                    "score": c_score,
+                    "description": c_desc,
+                }
             )
 
     return chunks_df.select("chunk_id", "doc_id", "content").mapInPandas(gen, schema=EXTRACT_SCHEMA)

@@ -153,10 +153,13 @@ def _materialize_small(df: DataFrame, context: str) -> DataFrame:
     return df.sparkSession.createDataFrame(rows, df.schema)
 
 
-def normalize_mentions(mentions_raw: DataFrame) -> DataFrame:
+def normalize_mentions(mentions_raw: DataFrame, smap: DataFrame | None = None) -> DataFrame:
     """Extraction rows (kind='entity') -> normalized, filtered mentions.
-    Normalization runs on the distinct-surface map (broadcast join)."""
-    smap = _materialize_small(surface_norm_map(mentions_raw), "normalize_mentions")
+    Normalization runs on the distinct-surface map (broadcast join).
+    Pass a pre-materialized ``smap`` (from materialize_surface_map) to
+    share one map across mention and rel normalization."""
+    if smap is None:
+        smap = materialize_surface_map(mentions_raw)
     df = mentions_raw.join(F.broadcast(smap), ["name", "type_or_target"]).select(
         "chunk_id",
         "doc_id",
@@ -175,17 +178,29 @@ def normalize_mentions(mentions_raw: DataFrame) -> DataFrame:
     return df.filter(keep).drop("low_name", "generic_name")
 
 
-def normalize_rels(rels_raw: DataFrame) -> DataFrame:
+def materialize_surface_map(mentions_raw: DataFrame) -> DataFrame:
+    """One driver-materialized surface map shared by mention and rel
+    normalization (rel endpoint surfaces are a subset of entity
+    surfaces by the extractor contract)."""
+    return _materialize_small(surface_norm_map(mentions_raw), "surface_map")
+
+
+def normalize_rels(rels_raw: DataFrame, smap: DataFrame | None = None) -> DataFrame:
     """Extraction rows (kind='rel') -> normalized relationship
     candidates. Endpoint surfaces normalize via a distinct-surface map
-    (two broadcast joins), not per-row regex."""
-    names = _materialize_small(
-        rels_raw.select(F.col("name").alias("surface"))
-        .union(rels_raw.select(F.col("type_or_target").alias("surface")))
-        .distinct()
-        .withColumn("norm", norm_name_col(F.col("surface"))),
-        "normalize_rels",
-    )
+    (two broadcast joins), not per-row regex. When ``smap`` (the
+    mentions surface map) is given, no extra pass over rels_raw is
+    needed to discover surfaces."""
+    if smap is not None:
+        names = smap.select(F.col("name").alias("surface"), F.col("norm_name").alias("norm")).distinct()
+    else:
+        names = _materialize_small(
+            rels_raw.select(F.col("name").alias("surface"))
+            .union(rels_raw.select(F.col("type_or_target").alias("surface")))
+            .distinct()
+            .withColumn("norm", norm_name_col(F.col("surface"))),
+            "normalize_rels",
+        )
     src_map = names.select(F.col("surface").alias("name"), F.col("norm").alias("source"))
     dst_map = names.select(F.col("surface").alias("type_or_target"), F.col("norm").alias("target"))
     return (

@@ -42,16 +42,27 @@ LINEAGE_SCHEMA = (
 def run_in_memory(spark: SparkSession, docs: DataFrame, chunk_size: int = chunking.CHUNK_SIZE, overlap: int = chunking.CHUNK_OVERLAP) -> dict[str, DataFrame]:
     """Checkpoint-free pipeline composition (tests / flagship query):
     same stages as KGPipeline.run but as one lazy DataFrame graph.
-    Persists the extraction output (it feeds three downstream trees)."""
-    chunks = chunking.with_quality(chunking.chunk_documents(document_text(docs), chunk_size, overlap))
-    extracted = extraction.extract_chunks(chunks).persist()
-    mentions_norm = normalize.normalize_mentions(extracted.filter(F.col("kind") == "entity"))
-    rels_norm = normalize.normalize_rels(extracted.filter(F.col("kind") == "rel"))
+
+    Caching strategy (the scaling-critical choice): ONE Python
+    extraction pass emits mention *occurrences* (with positions) and is
+    the only cached intermediate; per-chunk entity rows and the
+    quadratic relationship expansion are derived relationally
+    (JVM-side, map-side partial aggregation) — bit-equivalent to the
+    det_extract contract path (tested)."""
+    chunks = chunking.with_quality(
+        chunking.chunk_documents(document_text(docs), chunk_size, overlap)
+    )
+    occ = extraction.extract_occurrences(chunks).persist()
+    mentions_raw = extraction.entities_from_occurrences(occ)
+    rels_raw = extraction.rels_from_occurrences(occ)
+    smap = normalize.materialize_surface_map(mentions_raw)
+    mentions_norm = normalize.normalize_mentions(mentions_raw, smap).persist()
+    rels_norm = normalize.normalize_rels(rels_raw, smap)
     entities = linking.link_entities(linking.dedup_entities(mentions_norm), linking.alias_dictionary(spark))
     cmap = materialize.canonical_map(entities).persist()
     return {
         "chunks": chunks,
-        "extracted": extracted,
+        "extracted": mentions_raw.unionByName(rels_raw),
         "entities": entities,
         "cmap": cmap,
         "nodes": materialize.build_nodes(cmap),
@@ -162,12 +173,18 @@ class KGPipeline:
             resume=resume,
         )
 
+        # occurrence rows are the checkpointed extraction artifact —
+        # ~5x fewer rows than the long entity+rel format, and the rel
+        # expansion is re-derived relationally on resume
         extracted, h_ex = self._run_stage(
-            "extracted", h_chunks, lambda: extraction.extract_chunks(chunks), resume=resume
+            "extracted", h_chunks, lambda: extraction.extract_occurrences(chunks), resume=resume
         )
 
-        mentions_norm = normalize.normalize_mentions(extracted.filter(F.col("kind") == "entity"))
-        rels_norm = normalize.normalize_rels(extracted.filter(F.col("kind") == "rel"))
+        mentions_raw = extraction.entities_from_occurrences(extracted)
+        rels_raw = extraction.rels_from_occurrences(extracted)
+        smap = normalize.materialize_surface_map(mentions_raw)
+        mentions_norm = normalize.normalize_mentions(mentions_raw, smap)
+        rels_norm = normalize.normalize_rels(rels_raw, smap)
 
         entities, h_ent = self._run_stage(
             "entities",

@@ -49,6 +49,61 @@ def test_extractor_finds_known_entities():
     )
 
 
+def test_structured_equals_contract_path():
+    """det_extract_structured must be bit-identical to parsing the
+    pipe-format response (the pipeline uses the structured fast path;
+    the oracle uses the contract path)."""
+    from graphrag_spark.corpus import generate_doc_spans
+    from graphrag_spark.chunking import split_with_offsets
+    from graphrag_spark.extraction import det_extract_structured
+
+    for i in range(12):
+        spans = generate_doc_spans(i, "alpha beta gamma delta " * 40)
+        content = "\n\n".join(s["text"] for s in spans if s["kind"] == "text")
+        for chunk, _ in split_with_offsets(content):
+            a = det_extract_structured(chunk)
+            b = parse_extraction_response(det_extract_response(chunk))
+            assert a == b
+
+
+def test_occurrence_derivation_equals_contract_path(spark, corpus_path):
+    """entities_from_occurrences/rels_from_occurrences (the relational
+    scale path) must reproduce det_extract_structured exactly."""
+    import pyspark.sql.functions as F
+
+    from graphrag_spark.chunking import chunk_documents
+    from graphrag_spark.corpus import document_text
+    from graphrag_spark.extraction import (
+        det_extract_structured,
+        entities_from_occurrences,
+        extract_occurrences,
+        rels_from_occurrences,
+    )
+
+    docs = spark.read.parquet(corpus_path).limit(25)
+    chunks = chunk_documents(document_text(docs)).persist()
+    occ = extract_occurrences(chunks).persist()
+    got_ents = {
+        (r["chunk_id"], r["name"], r["type_or_target"], r["score"], r["description"])
+        for r in entities_from_occurrences(occ).collect()
+    }
+    got_rels = {
+        (r["chunk_id"], r["name"], r["type_or_target"], r["score"], r["description"])
+        for r in rels_from_occurrences(occ).collect()
+    }
+    want_ents, want_rels = set(), set()
+    for r in chunks.collect():
+        ents, rels = det_extract_structured(r["content"])
+        for e in ents:
+            want_ents.add((r["chunk_id"], e["name"], e["type"], e["importance"], e["description"]))
+        for x in rels:
+            want_rels.add((r["chunk_id"], x["source"], x["target"], x["strength"], x["description"]))
+    assert got_ents == want_ents
+    assert got_rels == want_rels
+    occ.unpersist()
+    chunks.unpersist()
+
+
 def test_no_match_empty_sections():
     ents, rels = parse_extraction_response(det_extract_response("zzz qqq 123"))
     assert ents == [] and rels == []
