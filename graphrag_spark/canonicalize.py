@@ -44,50 +44,69 @@ def connected_components(
     dst: str = "dst",
     salt_buckets: int = CC_SALT_BUCKETS,
     max_iterations: int = MAX_ITERATIONS,
+    cc_partitions: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) where component = min node id
-    reachable. Deterministic for any input order."""
+    reachable. Deterministic for any input order.
+
+    ``cc_partitions`` sizes the loop's shuffles to the *component
+    graph* (distinct surfaces/aliases — vocabulary-bounded), not the
+    corpus: the loop runs ~4 jobs per iteration, and running each over
+    the session's corpus-sized partition count wastes seconds per job
+    on empty-task scheduling. Auto-sized from the deduplicated edge
+    count when not given."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     bidir = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     bidir = bidir.localCheckpoint(eager=True)
+    if cc_partitions is None:
+        n_edges = bidir.count()
+        cc_partitions = max(2, min(256, n_edges // 100_000 + 2))
 
-    labels = (
-        bidir.select(F.col("src").alias("node"))
-        .union(bidir.select(F.col("dst").alias("node")))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    spark = edges.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_partitions))
+    try:
+        bidir = bidir.repartition(cc_partitions, "src").localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
-        # neighbor labels flowing along edges + own label
-        msgs = (
-            bidir.join(labels, bidir.src == labels.node)
-            .select(F.col("dst").alias("node"), F.col("component"))
-            .union(labels.select("node", "component"))
+        labels = (
+            bidir.select(F.col("src").alias("node"))
+            .union(bidir.select(F.col("dst").alias("node")))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = _two_phase_min(msgs, "node", "component", salt_buckets)
-        # pointer doubling: jump to the label's own label (<= label,
-        # since labels are monotone non-increasing) -> O(log diameter)
-        # iterations instead of O(diameter)
-        lbl2 = new_labels.select(
-            F.col("node").alias("cnode"), F.col("component").alias("ccomp")
-        )
-        new_labels = (
-            new_labels.join(lbl2, new_labels.component == lbl2.cnode, "left")
-            .select("node", F.coalesce("ccomp", "component").alias("component"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+
+        for _ in range(max_iterations):
+            # neighbor labels flowing along edges + own label
+            msgs = (
+                bidir.join(labels, bidir.src == labels.node)
+                .select(F.col("dst").alias("node"), F.col("component"))
+                .union(labels.select("node", "component"))
+            )
+            new_labels = _two_phase_min(msgs, "node", "component", salt_buckets)
+            # pointer doubling: jump to the label's own label (<= label,
+            # since labels are monotone non-increasing) -> O(log diameter)
+            # iterations instead of O(diameter)
+            lbl2 = new_labels.select(
+                F.col("node").alias("cnode"), F.col("component").alias("ccomp")
+            )
+            new_labels = (
+                new_labels.join(lbl2, new_labels.component == lbl2.cnode, "left")
+                .select("node", F.coalesce("ccomp", "component").alias("component"))
+            )
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels.select("node", "component")

@@ -55,7 +55,9 @@ def run_in_memory(spark: SparkSession, docs: DataFrame, chunk_size: int = chunki
     occ = extraction.extract_occurrences(chunks).persist()
     mentions_raw = extraction.entities_from_occurrences(occ)
     rels_raw = extraction.rels_from_occurrences(occ)
-    smap = normalize.materialize_surface_map(mentions_raw)
+    # surface map from raw occurrences: same distinct surface set as
+    # mentions_raw but skips re-running its groupBy
+    smap = normalize.materialize_surface_map(occ)
     mentions_norm = normalize.normalize_mentions(mentions_raw, smap).persist()
     rels_norm = normalize.normalize_rels(rels_raw, smap)
     entities = linking.link_entities(linking.dedup_entities(mentions_norm), linking.alias_dictionary(spark))
@@ -182,7 +184,7 @@ class KGPipeline:
 
         mentions_raw = extraction.entities_from_occurrences(extracted)
         rels_raw = extraction.rels_from_occurrences(extracted)
-        smap = normalize.materialize_surface_map(mentions_raw)
+        smap = normalize.materialize_surface_map(extracted)
         mentions_norm = normalize.normalize_mentions(mentions_raw, smap)
         rels_norm = normalize.normalize_rels(rels_raw, smap)
 
