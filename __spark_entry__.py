@@ -35,6 +35,23 @@ def _spans_docs(spark: SparkSession, sf_dir: str, n_docs: int = N_KG_DOCS) -> Da
     return spans_from_flat(flat)
 
 
+_KG_CACHE: dict[str, dict] = {}
+
+
+def _kg(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized KG build per sf_dir: several queries() entries read the
+    constructed graph; build it once per driver process."""
+    if sf_dir not in _KG_CACHE:
+        out = run_in_memory(spark, _spans_docs(spark, sf_dir))
+        _KG_CACHE[sf_dir] = {
+            "chunks": out["chunks"].persist(),
+            "nodes": out["nodes"].persist(),
+            "mentions": out["mentions"].persist(),
+            "triples": out["triples"].persist(),
+        }
+    return _KG_CACHE[sf_dir]
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -301,16 +318,82 @@ def _q_events_user_topk(spark, sf_dir):
     )
 
 
+def _q_fulltext_docs(spark, sf_dir):
+    """T7 analog with a DuckDB oracle: term-frequency ranked documents."""
+    d = _t(spark, sf_dir, "documents")
+    score = (
+        F.regexp_count(F.col("text"), F.lit(r"(?i)\bmerge\b"))
+        + F.regexp_count(F.col("text"), F.lit(r"(?i)\bshuffle\b"))
+    )
+    return (
+        d.select("doc_id", F.round(score * 1000.0 / F.greatest(F.length("text"), F.lit(1)), 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
 # ------------------------------ rows-only (non-SQL-expressible) queries ----
 
 def _q_kg_triples(spark, sf_dir):
-    out = run_in_memory(spark, _spans_docs(spark, sf_dir))
-    return out["triples"].select("subj", "pred", "obj", "strength", "n_observations")
+    return _kg(spark, sf_dir)["triples"].select("subj", "pred", "obj", "strength", "n_observations")
 
 
 def _q_kg_nodes(spark, sf_dir):
-    out = run_in_memory(spark, _spans_docs(spark, sf_dir))
-    return out["nodes"].select("entity_id", "name", "entity_type", "importance", "n_mentions")
+    return _kg(spark, sf_dir)["nodes"].select("entity_id", "name", "entity_type", "importance", "n_mentions")
+
+
+def _q_kg_graph_stats(spark, sf_dir):
+    from graphrag_spark import graph_ops
+
+    kg = _kg(spark, sf_dir)
+    return graph_ops.graph_stats(kg["nodes"], kg["chunks"], kg["mentions"], kg["triples"])
+
+
+def _q_kg_extraction_status(spark, sf_dir):
+    from graphrag_spark import graph_ops
+
+    kg = _kg(spark, sf_dir)
+    return graph_ops.extraction_status(kg["chunks"], kg["mentions"])
+
+
+def _q_kg_chunk_sim_edges(spark, sf_dir):
+    from graphrag_spark import graph_ops
+
+    kg = _kg(spark, sf_dir)
+    return graph_ops.chunk_similarity_edges(kg["chunks"], threshold=0.5, k=3)
+
+
+def _q_kg_entity_sim_edges(spark, sf_dir):
+    from graphrag_spark import graph_ops
+
+    kg = _kg(spark, sf_dir)
+    return graph_ops.entity_similarity_edges(kg["nodes"], threshold=0.5, k=3)
+
+
+def _q_kg_beam_paths(spark, sf_dir):
+    from graphrag_spark import graph_query
+
+    kg = _kg(spark, sf_dir)
+    seeds = [r["subj"] for r in kg["triples"].orderBy(F.desc("strength"), "subj").limit(2).collect()]
+    return graph_query.beam_search_paths(kg["triples"], kg["nodes"], seeds, max_hops=2, beam_size=8)
+
+
+def _q_kg_fulltext(spark, sf_dir):
+    from graphrag_spark import graph_query
+
+    kg = _kg(spark, sf_dir)
+    return graph_query.fulltext_search(kg["chunks"], "partnership rollout", top_k=10)
+
+
+def _q_ivf_ann(spark, sf_dir):
+    from graphrag_spark.similarity import ivf_assign, ivf_topk, train_ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(e, n_centroids=8)
+    assigns = ivf_assign(e, C)
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    return ivf_topk(e.filter(F.col("vec_id") != 0), list(qrow[0]), C, assigns, k=10, n_probe=3)
 
 
 def _q_chunk_stats(spark, sf_dir):
@@ -377,9 +460,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_accounts": _q_union_accounts,
         "events_stats": _q_events_stats,
         "events_user_topk": _q_events_user_topk,
+        "fulltext_docs": _q_fulltext_docs,
         # rows-only (non-SQL-expressible: KG pipeline, sketches, media)
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_nodes,
+        "kg_graph_stats": _q_kg_graph_stats,
+        "kg_extraction_status": _q_kg_extraction_status,
+        "kg_chunk_sim_edges": _q_kg_chunk_sim_edges,
+        "kg_entity_sim_edges": _q_kg_entity_sim_edges,
+        "kg_beam_paths": _q_kg_beam_paths,
+        "kg_fulltext": _q_kg_fulltext,
+        "ivf_ann": _q_ivf_ann,
         "chunk_stats": _q_chunk_stats,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -575,5 +666,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                           ORDER BY value DESC, event_id) AS rk
                   FROM events) WHERE rk <= 2
+        """,
+        "fulltext_docs": """
+            SELECT doc_id, score FROM (
+                SELECT doc_id,
+                       round((len(regexp_extract_all(text, '(?i)\\bmerge\\b'))
+                            + len(regexp_extract_all(text, '(?i)\\bshuffle\\b')))
+                             * 1000.0 / greatest(length(text), 1), 6) AS score
+                FROM documents
+            ) WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20
         """,
     }

@@ -1,0 +1,86 @@
+"""Deterministic embeddings for chunks and entities.
+
+The reference embeds chunks and entities through an external embedding
+API (core/embeddings.py:207-229; entity text is "name: description",
+core/graph_db.py:783) with TTL caching (embeddings.py:163). Here the
+embedding function is a deterministic feature-hashing encoder — an
+Arrow-batched, numpy-vectorized stand-in with the exact schema,
+batching, and dedup-before-compute shape a real model UDF would have
+(the reference's cache is replaced by ``dropDuplicates`` on the text
+before the UDF, SURVEY.md §2.9).
+
+Encoder: hash word 1-2-grams into ``dim`` buckets with +/- signs
+(sign hash), L2-normalize. Similar texts share n-grams -> high cosine;
+fully deterministic across processes (pandas keyed siphash).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+EMBED_DIM = 64
+
+
+def embed_texts_np(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
+    """Vectorized deterministic embedding of a text batch."""
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, text in enumerate(texts):
+        words = (text or "").lower().split()
+        grams = words + [" ".join(words[j : j + 2]) for j in range(len(words) - 1)]
+        if not grams:
+            out[i, 0] = 1.0
+            continue
+        h = pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
+        idx = (h % dim).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+        np.add.at(out[i], idx, sign)
+        n = np.linalg.norm(out[i])
+        if n == 0:
+            out[i, 0] = 1.0
+        else:
+            out[i] /= n
+    return out
+
+
+def _embed_df(df: DataFrame, id_col: str, text_col: str, dim: int) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = embed_texts_np(list(pdf[text_col]), dim)
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": [v.tolist() for v in vecs]})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def embed_chunks(chunks: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """chunks -> (chunk_id, embedding). Distinct-content dedup before
+    the UDF replaces the reference's embedding cache: identical texts
+    are embedded once, then joined back."""
+    distinct_texts = chunks.select(F.md5("content").alias("_h"), F.col("content")).dropDuplicates(["_h"])
+    embedded = _embed_df(distinct_texts, "_h", "content", dim)
+    return (
+        chunks.select("chunk_id", "doc_id", F.md5("content").alias("_h"))
+        .join(embedded, "_h")
+        .select("chunk_id", "doc_id", "embedding")
+    )
+
+
+def embed_entities(nodes: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """nodes -> (entity_id, embedding) over "name: description"
+    (reference core/graph_db.py:783)."""
+    with_text = nodes.select(
+        "entity_id", F.concat_ws(": ", F.col("name"), F.col("description")).alias("_t")
+    )
+    return _embed_df(with_text, "entity_id", "_t", dim)

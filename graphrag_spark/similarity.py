@@ -181,6 +181,77 @@ def lsh_bucket_pairs(
     return verified
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Mini k-means on a driver-side sample (seeded, numpy). At corpus
+    scale the sample is a tiny fraction; training cost is constant."""
+    rows = embeddings.select(vec_col).limit(sample_rows).collect()
+    X = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(SEED)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (Arrow batch matmul).
+    Writing the output partitioned by `cluster` gives partition-pruned
+    ANN scans at query time."""
+    cb = embeddings.sparkSession.sparkContext.broadcast(centroids)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, embeddings.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = cb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_col, "cluster"])
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({id_col: pdf[id_col], "cluster": np.argmax(M @ C.T, axis=1).astype("int32")})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    assignments: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN query: probe the n_probe nearest centroid cells, exact
+    cosine within them. With assignments stored partitioned-by-cluster,
+    the scan prunes to the probed partitions."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    cand = embeddings.join(
+        assignments.filter(F.col("cluster").isin(probes)).select(id_col), id_col
+    )
+    return cosine_topk_query(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def topk_per_item(pairs: DataFrame, k: int = 5) -> DataFrame:
     """Window top-k per src (reference T2/T3: per-chunk/entity top
     similarity connections, graph_db.py:283-292, 410-419)."""

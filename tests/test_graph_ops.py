@@ -1,0 +1,123 @@
+"""Graph maintenance/aggregation + query-side traversal operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphrag_spark import graph_ops, graph_query
+from graphrag_spark.pipeline import run_in_memory
+
+
+@pytest.fixture(scope="module")
+def kg(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    out = run_in_memory(spark, docs)
+    return {
+        "chunks": out["chunks"].persist(),
+        "mentions": out["mentions"].persist(),
+        "nodes": out["nodes"].persist(),
+        "triples": out["triples"].persist(),
+    }
+
+
+def test_graph_stats(kg):
+    row = graph_ops.graph_stats(kg["nodes"], kg["chunks"], kg["mentions"], kg["triples"]).collect()[0]
+    assert row["n_entities"] > 0 and row["n_triples"] > 0
+    assert row["n_chunks"] >= row["n_documents"]
+
+
+def test_extraction_status(kg):
+    st = graph_ops.extraction_status(kg["chunks"], kg["mentions"]).collect()
+    assert st
+    for r in st:
+        assert 0 <= r["chunks_with_entities"] <= r["n_chunks"]
+
+
+def test_doc_entity_rollup(kg):
+    r = graph_ops.doc_entity_rollup(kg["mentions"], kg["chunks"]).limit(20).collect()
+    assert r
+    for row in r:
+        assert row["n_mentions"] >= len(row["chunk_indexes"]) >= 1
+
+
+def test_post_entity_chunk_filter(kg):
+    before = kg["chunks"].count()
+    after = graph_ops.post_entity_chunk_filter(kg["chunks"], kg["mentions"]).count()
+    assert 0 < after <= before
+
+
+def test_delete_cascade(kg, spark):
+    doc = kg["chunks"].select("doc_id").first()["doc_id"]
+    out = graph_ops.delete_documents([doc], kg["chunks"], kg["mentions"], kg["nodes"], kg["triples"])
+    assert out["chunks"].filter(F.col("doc_id") == doc).count() == 0
+    assert out["mentions"].filter(F.col("doc_id") == doc).count() == 0
+    # no surviving entity references a chunk of the deleted doc
+    leaked = out["nodes"].select(F.explode("source_chunks").alias("c")).filter(
+        F.col("c").startswith(doc + "_chunk_")
+    )
+    assert leaked.count() == 0
+    # triples reference only surviving entities
+    names = {r["name"].upper() for r in out["nodes"].select("name").collect()}
+    for r in out["triples"].select("subj", "obj").limit(200).collect():
+        assert r["subj"].upper() in names and r["obj"].upper() in names
+
+
+def test_chunk_similarity_edges(kg):
+    edges = graph_ops.chunk_similarity_edges(kg["chunks"].limit(300), threshold=0.2, k=3)
+    rows = edges.limit(50).collect()
+    for r in rows:
+        assert r["src"] != r["dst"]
+        assert 0.2 <= r["similarity"] <= 1.000001
+
+
+def test_entity_similarity_edges(kg):
+    edges = graph_ops.entity_similarity_edges(kg["nodes"], threshold=0.3, k=3).limit(50).collect()
+    for r in edges:
+        assert r["src"] != r["dst"]
+
+
+def test_expand_and_neighborhood(kg):
+    seed = kg["triples"].select("subj").first()["subj"]
+    reached = graph_query.expand_entities(kg["triples"], [seed], depth=2)
+    rows = {r["name"]: r["depth"] for r in reached.collect()}
+    assert rows[seed] == 0
+    assert any(d == 1 for d in rows.values())
+    nb = graph_query.neighborhood(kg["triples"], seed, hops=1).collect()
+    assert nb
+    names = set(rows)
+    one_hop = {r["name"] for r in reached.filter("depth <= 1").collect()}
+    for r in nb:
+        assert r["src"] in one_hop and r["dst"] in one_hop
+
+
+def test_beam_search(kg):
+    seed = kg["triples"].select("subj").first()["subj"]
+    paths = graph_query.beam_search_paths(kg["triples"], kg["nodes"], [seed], max_hops=2, beam_size=4)
+    rows = paths.collect()
+    assert rows
+    for r in rows:
+        assert r["path"][0] == seed
+        assert len(set(r["path"])) == len(r["path"])  # no revisits
+        assert len(r["path"]) <= 3
+
+
+def test_fulltext_search(kg):
+    # pick a word we know exists
+    word = "partnership"
+    hits = graph_query.fulltext_search(kg["chunks"], word, top_k=5).collect()
+    assert len(hits) <= 5
+    if hits:
+        content = {r["chunk_id"] for r in hits}
+        sample = kg["chunks"].filter(F.col("chunk_id").isin(list(content))).collect()
+        for r in sample:
+            assert word in r["content"].lower()
+
+
+def test_top_entities_and_order(kg):
+    top = graph_query.top_entities(kg["nodes"], k=5).collect()
+    assert len(top) == 5
+    assert [r["importance"] for r in top] == sorted((r["importance"] for r in top), reverse=True)
+    doc = kg["chunks"].select("doc_id").first()["doc_id"]
+    ordered = graph_query.chunks_in_order(kg["chunks"], doc).collect()
+    assert [r["chunk_index"] for r in ordered] == list(range(len(ordered)))

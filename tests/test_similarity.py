@@ -72,6 +72,21 @@ def test_lsh_pairs_subset_of_exact_and_find_planted(spark, emb_df, vecs):
     assert (20, 21) in pairs
 
 
+def test_ivf_topk_recall(spark, emb_df, vecs):
+    from graphrag_spark.similarity import ivf_assign, ivf_topk, train_ivf_centroids
+
+    C = train_ivf_centroids(emb_df, n_centroids=4)
+    assigns = ivf_assign(emb_df, C)
+    assert assigns.count() == N
+    q = list(vecs[11])
+    got = {r["vec_id"] for r in ivf_topk(emb_df, q, C, assigns, k=5, n_probe=2).collect()}
+    # the planted near-duplicate of vec 11 must be found
+    assert 10 in got
+    exact = {r["vec_id"] for r in cosine_topk_query(emb_df, q, k=5).collect()}
+    # probing half the cells should recover most of the exact top-5
+    assert len(got & exact) >= 3
+
+
 def test_topk_per_item_window(spark, emb_df):
     pairs = pairwise_topk(emb_df, k=5, threshold=-1.0)
     top2 = topk_per_item(pairs, k=2)
