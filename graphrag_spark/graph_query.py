@@ -96,7 +96,7 @@ def beam_search_paths(
                 ),
             )
         )
-        w = Window.orderBy(F.desc("path_score"), F.col("tail"))
+        w = Window.orderBy(F.desc("path_score"), F.col("tail"), F.concat_ws(">", "path"))
         paths = (
             expanded.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= beam_size)

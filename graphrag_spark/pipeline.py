@@ -148,14 +148,35 @@ class KGPipeline:
         )
         lineage.write.mode("append").parquet(self._lineage_path())
 
-    def _run_stage(self, stage: str, upstream_hash: str, build, doc_col: str | None = "doc_id", resume: bool = True) -> tuple[DataFrame, str]:
+    def _run_stage(
+        self,
+        stage: str,
+        upstream_hash: str,
+        build,
+        doc_col: str | None = "doc_id",
+        resume: bool = True,
+        partition_by: list[str] | None = None,
+        bucket_col: str | None = None,
+    ) -> tuple[DataFrame, str]:
         h = self.stage_hash(stage, upstream_hash)
         path = self._path(stage)
         if resume and self._committed().get(stage) == h and os.path.exists(os.path.join(path, "_SUCCESS")):
             return self.spark.read.parquet(path), h
         t0 = time.time()
         df = build()
-        df.write.mode("overwrite").parquet(path)
+        out = df
+        parts = list(partition_by or [])
+        if bucket_col is not None:
+            # hash-bucket partition column: balanced files, partition-
+            # pruned point lookups, co-located downstream joins
+            out = out.withColumn(
+                "bucket", F.pmod(F.xxhash64(bucket_col), F.lit(self.buckets)).cast("int")
+            )
+            parts.append("bucket")
+        w = out.write.mode("overwrite")
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(path)
         self._commit(stage, h, df, doc_col)
         self.stage_times[stage] = time.time() - t0
         return self.spark.read.parquet(path), h
@@ -204,13 +225,16 @@ class KGPipeline:
         )
 
         nodes, _ = self._run_stage(
-            "nodes", h_cmap, lambda: materialize.build_nodes(cmap), doc_col=None, resume=resume
+            "nodes", h_cmap, lambda: materialize.build_nodes(cmap), doc_col=None, resume=resume,
+            partition_by=["entity_type"],
         )
         mentions, _ = self._run_stage(
-            "mentions", h_cmap, lambda: materialize.build_mentions(mentions_norm, cmap), resume=resume
+            "mentions", h_cmap, lambda: materialize.build_mentions(mentions_norm, cmap), resume=resume,
+            bucket_col="entity_id",
         )
         triples, _ = self._run_stage(
-            "triples", h_cmap, lambda: materialize.build_triples(rels_norm, cmap), doc_col=None, resume=resume
+            "triples", h_cmap, lambda: materialize.build_triples(rels_norm, cmap), doc_col=None, resume=resume,
+            bucket_col="subj",
         )
 
         return {

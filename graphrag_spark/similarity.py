@@ -91,6 +91,9 @@ def pairwise_topk(
     )
 
     def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id: group row order is not deterministic across runs,
+        # and argsort tie-breaks depend on input order
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
         ids = pdf[id_col].to_numpy()
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         norms = np.linalg.norm(mat, axis=1)
