@@ -100,13 +100,17 @@ def pairwise_topk(
         norms[norms == 0] = 1.0
         sims = (mat @ mat.T) / np.outer(norms, norms)
         np.fill_diagonal(sims, -np.inf)
+        # rank on ROUNDED similarity (ids ascending as tie-break, via
+        # the stable sort over id-sorted rows) so selection agrees with
+        # any SQL twin that ranks the rounded value
+        sims = np.round(sims, 6)
         rows = []
         for i in range(len(ids)):
             idx = np.argsort(-sims[i], kind="stable")[:k]
             for j in idx:
                 s = sims[i, j]
                 if s >= threshold:
-                    rows.append((ids[i], ids[j], round(float(s), 6)))
+                    rows.append((ids[i], ids[j], float(s)))
         return pd.DataFrame(rows, columns=["src", "dst", "similarity"])
 
     return df.groupBy(bc).applyInPandas(block_knn, schema=out_schema)
