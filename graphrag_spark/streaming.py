@@ -74,6 +74,86 @@ def run_windowed_stats_once(spark: SparkSession, events_path: str, out_table: st
     return spark.table(out_table)
 
 
+SESSION_GAP_SECONDS = 30 * 60
+
+SESSION_STATE_SCHEMA = "start double, last double, n long, total double"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+
+
+def sessionize_events(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Custom stateful operator: per-user session windows with an
+    inactivity gap, via ``applyInPandasWithState`` — the pattern for
+    stateful semantics Spark's built-in windowed aggs can't express.
+    Emits a row per closed session; open sessions close on state
+    timeout (event-time + watermark)."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            (start, last, n, total) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(int(round(start * 1e6)), unit="us")],
+                    "session_end": [pd.Timestamp(int(round(last * 1e6)), unit="us")],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+            return
+        rows = []
+        ts_val = []
+        for pdf in pdf_iter:
+            ts_val.extend(
+                zip((pdf["ts"].astype("int64") / 1e9).tolist(), pdf["value"].tolist())
+            )
+        ts_val.sort()
+        cur = state.get if state.exists else None
+        for t, v in ts_val:
+            if cur is None:
+                cur = (float(t), float(t), 1, float(v))
+            elif t - cur[1] > gap_seconds:
+                rows.append(cur)
+                cur = (float(t), float(t), 1, float(v))
+            else:
+                cur = (cur[0], float(t), cur[2] + 1, cur[3] + float(v))
+        if cur is not None:
+            state.update(cur)
+            # timeout must be strictly beyond the current watermark
+            timeout_ms = max(
+                int((cur[1] + gap_seconds) * 1000), state.getCurrentWatermarkMs() + 1000
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(rows),
+                    "session_start": [pd.Timestamp(int(round(r[0] * 1e6)), unit="us") for r in rows],
+                    "session_end": [pd.Timestamp(int(round(r[1] * 1e6)), unit="us") for r in rows],
+                    "n_events": [r[2] for r in rows],
+                    "total_value": [round(r[3], 2) for r in rows],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def incremental_kg_ingest(
     spark: SparkSession,
     docs_stream_path: str,

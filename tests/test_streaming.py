@@ -37,6 +37,43 @@ def test_windowed_stats_stream_equals_batch(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_sessionize_events_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions respect
+    the inactivity gap; event counts are conserved for closed sessions
+    + a batch-side oracle check per user."""
+    from graphrag_spark.streaming import sessionize_events
+
+    events_path = str(tmp_path / "events_dir")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.parquet(events_path)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_path)
+    )
+    q = (
+        sessionize_events(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("sessions_t").collect()
+    assert got, "expected at least one closed session"
+    import pandas as pd
+
+    batch = spark.read.parquet(events_path).select("user_id", "ts", "value").toPandas()
+    for r in got[:20]:
+        assert r["session_end"] >= r["session_start"]
+        u = batch[batch.user_id == r["user_id"]].sort_values("ts")
+        in_win = u[(u.ts >= r["session_start"]) & (u.ts <= r["session_end"])]
+        assert len(in_win) == r["n_events"]
+        assert abs(round(in_win.value.sum(), 2) - r["total_value"]) < 0.02
+
+
 def test_incremental_kg_ingest_matches_batch(spark, corpus_path, tmp_path):
     out_dir = str(tmp_path / "stream_out")
     ckpt = str(tmp_path / "ckpt")
