@@ -7,7 +7,10 @@ complete engine we provide the two streaming shapes the corpus needs:
 1. ``windowed_event_stats`` — watermarked tumbling-window aggregation
    over the ``events`` table shape (event_id, ts, user_id, event_type,
    value, props), late data bounded by the watermark.
-2. ``incremental_kg_ingest`` — micro-batch incremental KG construction:
+2. ``sessionize_events`` — custom stateful operator
+   (``applyInPandasWithState``): per-user inactivity-gap sessions with
+   event-time timeouts.
+3. ``incremental_kg_ingest`` — micro-batch incremental KG construction:
    a stream of spans documents flows through the *same* batch stages
    (chunk -> extract -> normalize) via foreachBatch, appending to the
    staged parquet tables. Canonicalization remains a periodic batch job
