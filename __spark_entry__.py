@@ -376,7 +376,10 @@ def _q_kg_beam_paths(spark, sf_dir):
 
     kg = _kg(spark, sf_dir)
     seeds = [r["subj"] for r in kg["triples"].orderBy(F.desc("strength"), "subj").limit(2).collect()]
-    return graph_query.beam_search_paths(kg["triples"], kg["nodes"], seeds, max_hops=2, beam_size=8)
+    out = graph_query.beam_search_paths(kg["triples"], kg["nodes"], seeds, max_hops=2, beam_size=8)
+    # driver contract: flatten path to a scalar string — the harness
+    # canonicalizer sorts/hashes column values and can't factorize lists
+    return out.select(F.concat_ws(">", "path").alias("path"), "path_score")
 
 
 def _q_kg_fulltext(spark, sf_dir):
@@ -582,8 +585,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT lang,
-                   sum(len(regexp_extract_all(text, '\\S+'))) AS tokens_ws,
-                   sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS tokens_bpe
+                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens_ws,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens_bpe
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "lang_id": f"""
