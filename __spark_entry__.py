@@ -236,8 +236,9 @@ def _q_cosine_topk(spark, sf_dir):
 
 def _q_knn_edges(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.pairwise_topk(e, k=3, threshold=0.2)
-    return similarity.topk_per_item(pairs, k=3).orderBy("src", F.desc("similarity"), "dst")
+    # distributed block-pair exact kNN — no single-task global matrix
+    pairs = similarity.pairwise_topk_blocked(e, k=3, threshold=0.2, block_rows=512)
+    return pairs.orderBy("src", F.desc("similarity"), "dst")
 
 
 def _q_label_clusters(spark, sf_dir):

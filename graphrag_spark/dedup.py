@@ -207,16 +207,28 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
-    banding (any identical band -> candidate; exact hamming verify)."""
+    """Near-dup pairs with hamming(simhash) <= max_hamming via banded
+    buckets (any identical band -> candidate; exact hamming verify).
+
+    The band count is derived from ``max_hamming``: with ``b`` bands, a
+    pair differing in ``<= b - 1`` bits must share at least one intact
+    band (pigeonhole), so ``b = max_hamming + 1`` guarantees 100%
+    recall at the requested radius — the round-1 fixed 4x16 banding
+    silently missed pairs beyond hamming 3."""
+    bands = min(max(max_hamming + 1, 2), 32)  # >=2-bit bands
     sigs = simhash_signatures(docs, id_col, text_col)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+    band_structs = []
+    for b in range(bands):
+        start = b * 64 // bands
+        width = (b + 1) * 64 // bands - start
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bucket"),
+            )
         )
-        for b in range(4)
-    ]
     banded = sigs.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

@@ -136,12 +136,30 @@ def chunk_similarity_edges(chunks: DataFrame, threshold: float = 0.7, k: int = 5
     )
 
 
-def entity_similarity_edges(nodes: DataFrame, threshold: float = 0.7, k: int = 5) -> DataFrame:
-    """J2 (core/graph_db.py:343-425): entity SIMILAR_TO edges, blocked
-    by entity_type (reference skips same-name pairs; type-blocking also
-    bounds the pair space), per-entity top-k."""
-    emb = embed_entities(nodes).join(nodes.select("entity_id", "entity_type"), "entity_id")
-    pairs = pairwise_topk(
-        emb, k=k, threshold=threshold, id_col="entity_id", vec_col="embedding", block_col="entity_type"
+def entity_similarity_edges(
+    nodes: DataFrame, threshold: float = 0.7, k: int = 5, exact_max_rows: int = 200_000
+) -> DataFrame:
+    """J2 (core/graph_db.py:343-425): entity SIMILAR_TO edges across the
+    whole entity set (the reference scores all entity pairs, skipping
+    self-pairs), per-entity top-k.
+
+    Scale path: block-pair exact kNN (O((n/nb)^2) per task, never a
+    full matrix on one executor). Above ``exact_max_rows`` entities the
+    quadratic total work stops being worth exactness and the job
+    switches to sign-random-projection LSH candidates + exact verify
+    (O(n*bands) shuffle) — the 100 TB posture, with recall bounded by
+    the band parameters instead of silently degrading the runtime."""
+    from .similarity import lsh_bucket_pairs, pairwise_topk_blocked
+
+    emb = embed_entities(nodes)
+    if emb.count() > exact_max_rows:
+        cand = lsh_bucket_pairs(
+            emb, threshold=threshold, id_col="entity_id", vec_col="embedding"
+        )
+        sym = cand.unionByName(
+            cand.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity")
+        )
+        return topk_per_item(sym, k=k)
+    return pairwise_topk_blocked(
+        emb, k=k, threshold=threshold, id_col="entity_id", vec_col="embedding"
     )
-    return topk_per_item(pairs, k=k)

@@ -96,11 +96,12 @@ def beam_search_paths(
                 ),
             )
         )
-        w = Window.orderBy(F.desc("path_score"), F.col("tail"), F.concat_ws(">", "path"))
+        # global per-hop beam = orderBy().limit() — TakeOrderedAndProject
+        # (parallel partial top-k per partition, merged on the driver),
+        # not a single-partition window over every expanded path
         paths = (
-            expanded.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= beam_size)
-            .drop("rk")
+            expanded.orderBy(F.desc("path_score"), F.col("tail"), F.concat_ws(">", "path"))
+            .limit(beam_size)
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(paths)

