@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame
 
 from .vocab import SEED
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: with a, b < p and x reduced mod p, the
+# product a*x < 2^62 fits exactly in int64, so (a*x + b) % p is the
+# true universal hash family — the round-1 2^61-1 variant wrapped the
+# multiply mod 2^64 first, which is deterministic but not (a*x+b) mod p
+# and weakened the unbiased-Jaccard-estimator property.
+_MERSENNE = (1 << 31) - 1
 
 
 # --------------------------------------------------------------- exact dedup
@@ -103,11 +108,12 @@ def minhash_signatures(
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingle_hashes(text or "", shingle_n).astype(np.int64) & ((1 << 61) - 1)
+                sh = (_shingle_hashes(text or "", shingle_n) % np.uint64(_MERSENNE)).astype(np.int64)
                 if len(sh) == 0:
                     rows.append((did, [0] * num_perm))
                     continue
-                # (num_perm, n_shingles) mod-p min per permutation
+                # (num_perm, n_shingles) mod-p min per permutation;
+                # a*x < 2^62 — exact in int64, no wraparound
                 vals = (A[:, None] * sh[None, :] + B[:, None]) % _MERSENNE
                 rows.append((did, vals.min(axis=1).tolist()))
             yield pd.DataFrame(rows, columns=["id", "signature"])

@@ -107,13 +107,29 @@ class KGPipeline:
     def stage_hash(self, stage: str, upstream: str) -> str:
         return hashlib.md5(f"{stage}|{upstream}|{self._params_fingerprint()}".encode()).hexdigest()
 
+    def _fs_exists(self, path: str) -> bool:
+        """Existence check via the Hadoop FileSystem API — honors the
+        path's scheme (file://, s3a://, hdfs://), unlike os.path.exists
+        which silently returns False for object stores and would
+        degrade resume to full recompute on a cluster."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
     def _committed(self) -> dict[str, str]:
-        """stage -> committed stage_hash (from the lineage table)."""
+        """stage -> most recently committed stage_hash.
+
+        Lineage is append-only: a stage recomputed under different
+        params leaves both hashes in the table. Resolving by latest
+        committed_at pins resume to the hash that matches the data
+        actually sitting in the stage dir (the newest write), so
+        reverting params can never silently reuse stale output."""
         try:
             rows = (
                 self.spark.read.parquet(self._lineage_path())
-                .select("stage", "stage_hash")
-                .distinct()
+                .groupBy("stage")
+                .agg(F.max_by("stage_hash", "committed_at").alias("stage_hash"))
                 .collect()
             )
         except Exception:
@@ -160,7 +176,7 @@ class KGPipeline:
     ) -> tuple[DataFrame, str]:
         h = self.stage_hash(stage, upstream_hash)
         path = self._path(stage)
-        if resume and self._committed().get(stage) == h and os.path.exists(os.path.join(path, "_SUCCESS")):
+        if resume and self._committed().get(stage) == h and self._fs_exists(os.path.join(path, "_SUCCESS")):
             return self.spark.read.parquet(path), h
         t0 = time.time()
         df = build()

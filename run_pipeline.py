@@ -42,7 +42,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     corpus_path = os.path.join(args.work_dir, "corpus")
-    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+    # Hadoop FS existence check: honors s3a://, hdfs:// work dirs (the
+    # os.path.exists shortcut is always False there and would rewrite
+    # the corpus on every run)
+    jvm = spark._jvm
+    success = jvm.org.apache.hadoop.fs.Path(os.path.join(corpus_path, "_SUCCESS"))
+    fs = success.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(success):
         write_corpus(spark, args.flat_docs, corpus_path, buckets=args.buckets)
 
     t0 = time.time()

@@ -90,6 +90,26 @@ def test_resume_recomputes_after_kill(pipeline_out, spark, corpus_path, tmp_path
     assert a == b
 
 
+def test_resume_param_revert_recomputes(spark, corpus_path, tmp_path_factory):
+    """Append-only lineage holds BOTH hashes after a stage is recomputed
+    under different params. Reverting params must NOT hash-match the
+    stale commit (the stage dir holds the newer run's output): resume
+    has to re-run the stage, and the final output must equal a fresh
+    run at the reverted params."""
+    wd = str(tmp_path_factory.mktemp("work_revert"))
+    out1 = KGPipeline(spark, corpus_path, wd, chunk_size=1000).run()
+    n1 = out1["chunks"].count()
+
+    out2 = KGPipeline(spark, corpus_path, wd, chunk_size=500).run()
+    n2 = out2["chunks"].count()
+    assert n2 != n1  # params actually changed the output
+
+    p3 = KGPipeline(spark, corpus_path, wd, chunk_size=1000)
+    out3 = p3.run()
+    assert "chunks" in p3.stage_times, "stale lineage hash silently reused"
+    assert out3["chunks"].count() == n1
+
+
 def test_hub_entities_exist(pipeline_out):
     """Zipfian injection must produce real hub skew (exercises the
     salted aggregation path meaningfully)."""
