@@ -188,11 +188,14 @@ def _q_quality_bands(spark, sf_dir):
     score = textstats.quality_score(F.col("text"))
     return (
         d.select(
-            F.when(score >= 0.8, "high").when(score >= 0.5, "medium").otherwise("low").alias("band")
+            F.when(score >= 0.8, "high").when(score >= 0.5, "medium").otherwise("low").alias("band"),
+            # centile bucket makes the oracle sensitive to the exact
+            # penalty formula, not just the 3-way banding
+            F.floor(score * 100).cast("int").alias("centile"),
         )
-        .groupBy("band")
+        .groupBy("band", "centile")
         .agg(F.count("*").alias("n_docs"))
-        .orderBy("band")
+        .orderBy("band", "centile")
     )
 
 
@@ -487,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
+# DuckDB twin of graphrag_spark.chunking._quality_cols — the reference
+# _analyze_text_quality formula + penalty set (core/ocr.py:162-258)
 _QUALITY_SQL = """
     0.4 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
            / greatest(length(text), 1))
@@ -499,14 +504,14 @@ _QUALITY_SQL = """
 """
 
 _QUALITY_PENALIZED = f"""
+  CASE WHEN length(trim(text)) < 5 THEN 0.0 ELSE
   ({_QUALITY_SQL})
-  * (CASE WHEN regexp_matches(text, '�|[^\\w\\s]{{6,}}') THEN 0.8 ELSE 1.0 END)
-  * (CASE WHEN (length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE
-               / greatest(length(text), 1) > 0.65 THEN 0.7 ELSE 1.0 END)
-  * (CASE WHEN length(text) < 30 THEN 0.9 ELSE 1.0 END)
-  * (CASE WHEN (len(regexp_extract_all(text, '\\S+'))::DOUBLE
-                / greatest(len(list_filter(string_split(text, chr(10)), x -> trim(x) != '')), 1)) < 2.0
-          THEN 0.6 ELSE 1.0 END)
+  * (CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 0.8 ELSE 1.0 END)
+  * (CASE WHEN len(regexp_extract_all(text, '\\b\\w{{1,2}}\\b')) > length(text) * 0.1
+          THEN 0.7 ELSE 1.0 END)
+  * (CASE WHEN position('   ' in text) > 0 THEN 0.9 ELSE 1.0 END)
+  * (CASE WHEN length(text) < 30 THEN 0.6 ELSE 1.0 END)
+  END
 """
 
 _LANG_HIT = (
@@ -577,12 +582,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1 ORDER BY 1
         """,
         "quality_bands": f"""
-            SELECT band, count(*) AS n_docs FROM (
-                SELECT CASE WHEN ({_QUALITY_PENALIZED}) >= 0.8 THEN 'high'
-                            WHEN ({_QUALITY_PENALIZED}) >= 0.5 THEN 'medium'
-                            ELSE 'low' END AS band
-                FROM documents
-            ) GROUP BY band ORDER BY band
+            SELECT band, centile, count(*) AS n_docs FROM (
+                SELECT CASE WHEN q >= 0.8 THEN 'high'
+                            WHEN q >= 0.5 THEN 'medium'
+                            ELSE 'low' END AS band,
+                       CAST(floor(q * 100) AS INT) AS centile
+                FROM (SELECT round(({_QUALITY_PENALIZED}), 6) AS q FROM documents)
+            ) GROUP BY band, centile ORDER BY band, centile
         """,
         "token_counts": """
             SELECT lang,

@@ -181,9 +181,19 @@ _WS_CHARS = " \t\n\r\f"
 
 
 def _quality_cols(content: Column) -> dict[str, Column]:
-    # char-class counts via translate (no per-row string/array
-    # allocation — regexp_replace/extract_all here cost ~70s per 600k
-    # chunks from GC pressure; translate + regexp_count cost ~2s)
+    """Reference `_analyze_text_quality` (core/ocr.py:162-258) as native
+    column expressions — same base formula AND the same penalty set:
+    non-ASCII artifacts x0.8, fragmented words x0.7, triple-space x0.9,
+    short chunk x0.6; empty/<5-char rail -> 0.0.
+
+    Documented divergence: char classes are ASCII (translate list /
+    Java regex \\w), where the reference uses Python's Unicode
+    str.isalnum/isspace — identical on the ASCII corpus; on non-ASCII
+    text, accented letters count as artifacts-but-not-alnum here.
+
+    Char-class counts use translate (no per-row string/array
+    allocation — regexp_replace/extract_all here cost ~70s per 600k
+    chunks from GC pressure; translate + regexp_count cost ~2s)."""
     total = F.greatest(F.length(content), F.lit(1))
     alnum = F.length(content) - F.length(F.translate(content, _ALNUM_CHARS, ""))
     ws = F.length(content) - F.length(F.translate(content, _WS_CHARS, ""))
@@ -195,20 +205,25 @@ def _quality_cols(content: Column) -> dict[str, Column]:
     text_ratio = alnum / total
     ws_ratio = ws / total
     wpl = words / nonempty_lines
-    has_artifacts = content.rlike(r"�|[^\w\s]{6,}")
+    has_artifacts = content.rlike(r"[^\x00-\x7F]")
+    has_fragmented = F.regexp_count(content, F.lit(r"\b\w{1,2}\b")) > F.length(content) * 0.1
+    has_excessive_spaces = content.contains("   ")
+    too_short_rail = F.length(F.trim(content)) < 5  # ocr.py:173-180
     base = 0.4 * text_ratio + 0.3 * (1 - ws_ratio) + 0.3 * F.least(wpl / 5.0, F.lit(1.0))
-    score = (
+    score = F.when(too_short_rail, F.lit(0.0)).otherwise(
         base
         * F.when(has_artifacts, F.lit(0.8)).otherwise(F.lit(1.0))
-        * F.when(ws_ratio > MAX_WHITESPACE_RATIO, F.lit(0.7)).otherwise(F.lit(1.0))
-        * F.when(F.length(content) < MIN_CHUNK_LEN, F.lit(0.9)).otherwise(F.lit(1.0))
-        * F.when(wpl < MIN_WORDS_PER_LINE, F.lit(0.6)).otherwise(F.lit(1.0))
+        * F.when(has_fragmented, F.lit(0.7)).otherwise(F.lit(1.0))
+        * F.when(has_excessive_spaces, F.lit(0.9)).otherwise(F.lit(1.0))
+        * F.when(F.length(content) < MIN_CHUNK_LEN, F.lit(0.6)).otherwise(F.lit(1.0))
     )
-    unreadable = (
-        (text_ratio < MIN_TEXT_RATIO)
-        | (ws_ratio > MAX_WHITESPACE_RATIO)
-        | (F.length(content) < MIN_CHUNK_LEN)
-        | (wpl < MIN_WORDS_PER_LINE)
+    is_readable = (
+        ~too_short_rail
+        & (score >= 0.5)
+        & (text_ratio >= MIN_TEXT_RATIO)
+        & (ws_ratio <= MAX_WHITESPACE_RATIO)
+        & (wpl >= MIN_WORDS_PER_LINE)
+        & ~(has_fragmented & has_artifacts)
     )
     return {
         "text_ratio": text_ratio,
@@ -216,7 +231,51 @@ def _quality_cols(content: Column) -> dict[str, Column]:
         "words_per_line": wpl,
         "has_artifacts": has_artifacts,
         "quality_score": F.round(score, 6),
-        "needs_review": unreadable & (score < 0.3),
+        # reference needs_ocr (ocr.py:279): unreadable AND score < 0.3
+        "needs_review": ~is_readable & (score < 0.3),
+    }
+
+
+def py_quality_analysis(text: str) -> dict:
+    """Pure-Python trace of the reference's `_analyze_text_quality`
+    (core/ocr.py:162-258), restricted to ASCII char classes so it is
+    the exact twin of the Spark expressions in `_quality_cols` (the
+    reference itself uses Unicode isalnum/isspace — identical on ASCII
+    text). Used by tests to property-check the native column path."""
+    if not text or len(text.strip()) < 5:
+        # rail (ocr.py:173-180): unreadable, score 0 -> needs_ocr True
+        return {"quality_score": 0.0, "is_readable": False, "needs_review": True}
+    total = len(text)
+    alnum = sum(1 for c in text if c in _ALNUM_CHARS)
+    ws = sum(1 for c in text if c in _WS_CHARS)
+    text_ratio = alnum / total
+    ws_ratio = ws / total
+    nonempty = [ln for ln in text.split("\n") if ln.strip()]
+    words = len(re.findall(r"\S+", text))
+    wpl = words / len(nonempty) if nonempty else 0.0
+    has_artifacts = bool(re.search(r"[^\x00-\x7F]", text))
+    has_fragmented = len(re.findall(r"\b\w{1,2}\b", text, flags=re.ASCII)) > total * 0.1
+    has_excessive = "   " in text
+    score = 0.4 * text_ratio + 0.3 * (1 - ws_ratio) + 0.3 * min(wpl / 5.0, 1.0)
+    if has_artifacts:
+        score *= 0.8
+    if has_fragmented:
+        score *= 0.7
+    if has_excessive:
+        score *= 0.9
+    if total < MIN_CHUNK_LEN:
+        score *= 0.6
+    is_readable = (
+        score >= 0.5
+        and text_ratio >= MIN_TEXT_RATIO
+        and ws_ratio <= MAX_WHITESPACE_RATIO
+        and wpl >= MIN_WORDS_PER_LINE
+        and not (has_fragmented and has_artifacts)
+    )
+    return {
+        "quality_score": round(score, 6),
+        "is_readable": is_readable,
+        "needs_review": (not is_readable) and score < 0.3,
     }
 
 

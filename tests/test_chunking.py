@@ -111,3 +111,41 @@ def test_chunk_id_contract(spark, corpus_path):
         assert r["chunk_size"] == len(r["content"])
         assert len(r["content"]) <= CHUNK_SIZE
         assert CHUNK_OVERLAP < CHUNK_SIZE
+
+
+QUALITY_EDGE_TEXTS = [
+    "",
+    "ab",
+    "tiny",
+    "short but ok text here",
+    "x " * 400,  # fragmented words
+    "normal paragraph with several reasonable words per line\n" * 5,
+    "spaced   out   text   with   triple   gaps",
+    "café résumé über",  # non-ASCII artifacts
+    "A1 b2 c3 " * 50,
+    "\n\n\n\n",
+    "word\n" * 40,  # 1 word per line
+    "x" * 2000,
+    "lots of punctuation !!! ??? ;;; ::: --- ...",
+]
+
+
+def test_quality_score_matches_reference_trace(spark):
+    """The native Spark quality columns must equal the pure-Python trace
+    of the reference's _analyze_text_quality (core/ocr.py:162-258) —
+    same base formula, same penalty set, same needs_review rule."""
+    import pyspark.sql.functions as F
+
+    from graphrag_spark.chunking import _quality_cols, py_quality_analysis
+
+    df = spark.createDataFrame([(t,) for t in QUALITY_EDGE_TEXTS], "content string")
+    cols = _quality_cols(F.col("content"))
+    rows = df.select(
+        "content", cols["quality_score"].alias("q"), cols["needs_review"].alias("nr")
+    ).collect()
+    for r in rows:
+        want = py_quality_analysis(r["content"])
+        assert abs(r["q"] - want["quality_score"]) < 1e-6, (
+            f"score mismatch for {r['content']!r}: spark={r['q']} py={want['quality_score']}"
+        )
+        assert r["nr"] == want["needs_review"], f"needs_review mismatch for {r['content']!r}"
