@@ -129,8 +129,15 @@ def delete_documents(
 def chunk_similarity_edges(chunks: DataFrame, threshold: float = 0.7, k: int = 5) -> DataFrame:
     """J1 (core/graph_db.py:239-297): within-document chunk SIMILAR_TO
     edges, per-chunk top-k — one distributed job instead of the
-    reference's per-doc O(n^2) Python loops with per-pair MERGEs."""
-    emb = embed_chunks(chunks)
+    reference's per-doc O(n^2) Python loops with per-pair MERGEs.
+
+    Uses the embedding column stored on the chunks table when present
+    (the reference reads stored vectors, graph_db.py:248-254); falls
+    back to on-the-fly embedding for bare chunk frames."""
+    if "embedding" in chunks.columns:
+        emb = chunks.select("chunk_id", "doc_id", "embedding")
+    else:
+        emb = embed_chunks(chunks)
     return pairwise_topk(
         emb, k=k, threshold=threshold, id_col="chunk_id", vec_col="embedding", block_col="doc_id"
     )
@@ -151,7 +158,10 @@ def entity_similarity_edges(
     the band parameters instead of silently degrading the runtime."""
     from .similarity import lsh_bucket_pairs, pairwise_topk_blocked
 
-    emb = embed_entities(nodes)
+    if "embedding" in nodes.columns:
+        emb = nodes.select("entity_id", "embedding")
+    else:
+        emb = embed_entities(nodes)
     if emb.count() > exact_max_rows:
         cand = lsh_bucket_pairs(
             emb, threshold=threshold, id_col="entity_id", vec_col="embedding"

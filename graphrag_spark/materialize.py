@@ -76,16 +76,26 @@ def canonical_map(linked: DataFrame) -> DataFrame:
     )
 
 
-def build_nodes(cmap: DataFrame) -> DataFrame:
+def build_nodes(cmap: DataFrame, with_embedding: bool = True) -> DataFrame:
     """One row per canonical entity (reference 'Entity' node,
-    core/graph_db.py:21-31): merge all member surfaces."""
-    return cmap.groupBy("entity_id", "canonical_name", "canonical_type").agg(
+    core/graph_db.py:21-31): merge all member surfaces.
+
+    Like the reference, the persisted entity row carries its embedding
+    (core/graph_db.py:799-829 stores the vector on the node; the text
+    embedded is "name: description", :783) so query-side similarity
+    reads stored vectors instead of recomputing them."""
+    merged = cmap.groupBy("entity_id", "canonical_name", "canonical_type").agg(
         F.round(F.sum(F.col("importance") * F.col("n_mentions")) / F.sum("n_mentions"), 6).alias("importance"),
         F.max_by("description", F.struct(F.length("description"), F.col("description"))).alias("description"),
         F.sort_array(F.array_distinct(F.flatten(F.collect_list("source_chunks")))).alias("source_chunks"),
         F.sum("n_mentions").alias("n_mentions"),
         F.count("*").alias("n_surface_forms"),
     ).withColumnRenamed("canonical_name", "name").withColumnRenamed("canonical_type", "entity_type")
+    if not with_embedding:
+        return merged
+    from .embeddings import embed_entities
+
+    return merged.join(embed_entities(merged), "entity_id")
 
 
 def build_mentions(normalized_mentions: DataFrame, cmap: DataFrame) -> DataFrame:

@@ -49,10 +49,18 @@ def run_in_memory(spark: SparkSession, docs: DataFrame, chunk_size: int = chunki
     quadratic relationship expansion are derived relationally
     (JVM-side, map-side partial aggregation) — bit-equivalent to the
     det_extract contract path (tested)."""
-    chunks = chunking.with_quality(
+    from .embeddings import embed_chunks
+
+    chunks_base = chunking.with_quality(
         chunking.chunk_documents(document_text(docs), chunk_size, overlap)
     )
-    occ = extraction.extract_occurrences(chunks).persist()
+    # persisted chunk rows carry their embedding like the reference's
+    # chunk nodes (core/graph_db.py:174-203); extraction reads the
+    # narrow base columns so the vector never rides through that shuffle
+    chunks = chunks_base.join(
+        embed_chunks(chunks_base).select("chunk_id", "embedding"), "chunk_id"
+    )
+    occ = extraction.extract_occurrences(chunks_base).persist()
     mentions_raw = extraction.entities_from_occurrences(occ)
     rels_raw = extraction.rels_from_occurrences(occ)
     # surface map from raw occurrences: same distinct surface set as
@@ -99,7 +107,7 @@ class KGPipeline:
                 "chunk_overlap": self.chunk_overlap,
                 "salt_buckets": self.salt_buckets,
                 "corpus": self.corpus_path,
-                "v": 1,
+                "v": 2,  # v2: chunks/nodes stages carry embedding columns
             },
             sort_keys=True,
         )
@@ -203,14 +211,18 @@ class KGPipeline:
         spark = self.spark
         docs = spark.read.parquet(self.corpus_path)
 
-        chunks, h_chunks = self._run_stage(
-            "chunks",
-            "root",
-            lambda: chunking.with_quality(
+        from .embeddings import embed_chunks
+
+        def _build_chunks() -> DataFrame:
+            base = chunking.with_quality(
                 chunking.chunk_documents(document_text(docs), self.chunk_size, self.chunk_overlap)
-            ),
-            resume=resume,
-        )
+            )
+            # stored chunk rows carry their embedding (reference
+            # core/graph_db.py:174-203); downstream stages that don't
+            # need the vector are protected by parquet column pruning
+            return base.join(embed_chunks(base).select("chunk_id", "embedding"), "chunk_id")
+
+        chunks, h_chunks = self._run_stage("chunks", "root", _build_chunks, resume=resume)
 
         # occurrence rows are the checkpointed extraction artifact —
         # ~5x fewer rows than the long entity+rel format, and the rel

@@ -44,6 +44,19 @@ def test_nodes_match_oracle_entities(pipeline_out, doc_rows):
     assert inter / max(len(want), 1) >= 0.95
 
 
+def test_persisted_embedding_columns(pipeline_out):
+    """Stored chunks and nodes carry an embedding column like the
+    reference's chunk/entity nodes (core/graph_db.py:174-203, 799-829),
+    so query-time similarity reads stored vectors."""
+    from graphrag_spark.embeddings import EMBED_DIM
+
+    _, out, _ = pipeline_out
+    for table in ("chunks", "nodes"):
+        assert "embedding" in out[table].columns, table
+        row = out[table].select(F.size("embedding").alias("d")).first()
+        assert row["d"] == EMBED_DIM, table
+
+
 def test_lineage_written(pipeline_out, spark):
     _, _, wd = pipeline_out
     lin = spark.read.parquet(os.path.join(wd, "_lineage"))
