@@ -8,11 +8,15 @@ algorithm is implemented from its published/public description: find the
 first separator present, split keeping the separator attached to the
 following piece, greedily merge pieces up to chunk_size with
 chunk_overlap carry-over, recurse into oversized pieces with the
-remaining separators.
+remaining separators. Conformance is verified byte-for-byte against an
+independent trace of the published LangChain algorithm
+(oracle/lc_splitter.py) by golden + hypothesis tests
+(tests/test_chunking.py::test_langchain_conformance_*).
 
-Offset tracking mirrors core/chunking.py:69-78 (``text.find(chunk,
-current_offset)`` with running-offset fallback); chunk ids mirror
-core/chunking.py:99 (``f"{doc_id}_chunk_{i}"``).
+Offset tracking is the reference's exact loop (core/chunking.py:69-78,
+``text.find(chunk, current_offset)`` advancing by chunk end, fallback
+to the running offset); chunk ids mirror core/chunking.py:99
+(``f"{doc_id}_chunk_{i}"``).
 
 Spark-side: ``chunk_documents`` runs the splitter as an Arrow-vectorized
 ``mapInPandas`` (one Python roundtrip per batch of documents, never per
@@ -120,18 +124,21 @@ def recursive_split(
 
 
 def split_with_offsets(text: str, chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> list[tuple[str, int]]:
-    """Chunks + char offsets (reference core/chunking.py:69-78)."""
+    """Chunks + char offsets, exactly the reference's tracking loop
+    (core/chunking.py:69-78): find each chunk at/after the END of the
+    previous chunk, falling back to the running offset on a miss.
+    Overlapping chunks start before the previous end, so the reference
+    usually stores the fallback (previous end) — parity means emitting
+    the same values, not the "true" start position."""
     chunks = recursive_split(text, chunk_size, overlap)
     out: list[tuple[str, int]] = []
-    search_from = 0
-    running = 0
+    current = 0
     for c in chunks:
-        idx = text.find(c, search_from)
+        idx = text.find(c, current)
         if idx < 0:
-            idx = running
+            idx = current
         out.append((c, idx))
-        search_from = idx + 1
-        running = idx + max(1, len(c) - overlap)
+        current = idx + len(c)
     return out
 
 

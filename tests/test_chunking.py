@@ -66,10 +66,62 @@ def test_unicode_preserved():
     assert any("héllo" in c for c in chunks)
 
 
-def test_offsets_exact():
-    text = ("Sentence one is here. " * 20 + "\n\n") * 10
-    for chunk, off in split_with_offsets(text):
-        assert text[off : off + len(chunk)] == chunk
+def test_offsets_match_reference_trace():
+    """Offsets must equal the reference's tracking loop
+    (core/chunking.py:69-78) — including its fallback behavior on
+    overlapping chunks, where the stored offset is the previous chunk's
+    end rather than the true start position."""
+    from graphrag_spark.oracle.lc_splitter import reference_offsets
+
+    for text in [
+        ("Sentence one is here. " * 20 + "\n\n") * 10,
+        "unique words " + " ".join(f"tok{i}" for i in range(800)),
+        "x" * 2500,
+    ]:
+        pairs = split_with_offsets(text, 300, 60)
+        chunks = [c for c, _ in pairs]
+        assert [o for _, o in pairs] == reference_offsets(text, chunks)
+
+
+LC_GOLDEN_TEXTS = [
+    "",
+    "short",
+    "a" * 5000,
+    ("word " * 500).strip(),
+    "para one.\n\npara two is a bit longer.\n\n" * 60,
+    "line\n" * 800,
+    " ".join(f"w{i}" for i in range(2000)),
+    "x" * 999 + " " + "y" * 999,
+    "\n\n\n\nleading seps",
+    "trailing seps\n\n\n\n",
+    "nospacesatallhere" * 200,
+    ("abc " * 300 + "\n\n") * 5,
+    "mixed\n\npara\nline and words " * 120,
+]
+
+
+def test_langchain_conformance_golden():
+    """recursive_split must be byte-identical to the independent trace
+    of LangChain's RecursiveCharacterTextSplitter (the splitter the
+    reference configures, core/chunking.py:21-25) at the reference
+    config and at small configs that stress merge/overlap edges."""
+    from graphrag_spark.oracle.lc_splitter import lc_split_text
+
+    for text in LC_GOLDEN_TEXTS:
+        for cs, ov in [(1000, 200), (100, 20), (50, 10), (37, 9)]:
+            assert recursive_split(text, cs, ov) == lc_split_text(text, cs, ov), (cs, ov, text[:60])
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.text(alphabet="abc \n.", min_size=0, max_size=4000),
+    st.integers(min_value=20, max_value=400),
+)
+def test_langchain_conformance_property(text, chunk_size):
+    from graphrag_spark.oracle.lc_splitter import lc_split_text
+
+    overlap = chunk_size // 5
+    assert recursive_split(text, chunk_size, overlap) == lc_split_text(text, chunk_size, overlap)
 
 
 @settings(max_examples=60, deadline=None)
