@@ -1,10 +1,10 @@
 """Entity dedup + alias-dictionary linking.
 
 Dedup semantics mirror the reference's per-chunk and global entity merge
-(core/entity_extraction.py:300-338, 552-557): key = normalized name
-(case-insensitive), merged source_chunks union, longest description,
-mean importance. The reference's pairwise-sequential mean is
-order-dependent (SURVEY.md §7.2); we use the exact mean — documented
+(core/entity_extraction.py:300-338, 552-557): key = (normalized name
+lowercased, normalized type), merged source_chunks union, longest
+description, mean importance. The reference's pairwise-sequential mean
+is order-dependent (SURVEY.md §7.2); we use the exact mean — documented
 divergence that does not affect (subj, pred, obj) P/R.
 
 Scale design: this is the pipeline's hottest shuffle (hub entities show
@@ -31,15 +31,21 @@ SALT_BUCKETS = 16
 def dedup_entities(mentions: DataFrame, salt_buckets: int = SALT_BUCKETS) -> DataFrame:
     """Normalized mentions -> one row per distinct entity surface key.
 
+    Dedup key = (lowercased normalized name, normalized type), exactly
+    the reference's ``key = (normalized_name.lower(), normalized_type)``
+    (core/entity_extraction.py:306-310). Entities sharing a name across
+    types stay separate here and merge only at the canonical-node level
+    (the reference's graph MERGE keys nodes by md5(name.lower()),
+    ingestion/document_processor.py:123-125).
+
     Output: name_key, display_name, entity_type, importance,
     description, source_chunks, n_mentions.
     """
     m = mentions.withColumn("name_key", F.lower(F.col("name")))
 
     # E9: per-chunk dedup (same key extracted twice in one chunk)
-    per_chunk = m.groupBy("chunk_id", "name_key").agg(
+    per_chunk = m.groupBy("chunk_id", "name_key", "entity_type").agg(
         F.max_by("name", F.struct(F.col("importance"), F.col("name"))).alias("name"),
-        F.max_by("entity_type", F.struct(F.col("importance"), F.col("entity_type"))).alias("entity_type"),
         F.avg("importance").alias("importance"),
         F.max_by("description", F.struct(F.length("description"), F.col("description"))).alias("description"),
     )
@@ -48,22 +54,19 @@ def dedup_entities(mentions: DataFrame, salt_buckets: int = SALT_BUCKETS) -> Dat
     salted = per_chunk.withColumn(
         "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt_buckets)).cast("int")
     )
-    partial = salted.groupBy("name_key", "salt").agg(
+    partial = salted.groupBy("name_key", "entity_type", "salt").agg(
         F.sum("importance").alias("imp_sum"),
         F.count("*").alias("cnt"),
         F.collect_set("chunk_id").alias("chunks_part"),
         F.max_by("description", F.struct(F.length("description"), F.col("description"))).alias("description"),
         F.min("name").alias("display_name"),
-        F.max("importance").alias("max_imp"),
-        F.max_by("entity_type", F.struct(F.col("importance"), F.col("entity_type"))).alias("entity_type"),
     )
-    final = partial.groupBy("name_key").agg(
+    final = partial.groupBy("name_key", "entity_type").agg(
         (F.sum("imp_sum") / F.sum("cnt")).alias("importance"),
         F.sum("cnt").alias("n_mentions"),
         F.sort_array(F.array_distinct(F.flatten(F.collect_list("chunks_part")))).alias("source_chunks"),
         F.max_by("description", F.struct(F.length("description"), F.col("description"))).alias("description"),
         F.min("display_name").alias("display_name"),
-        F.max_by("entity_type", F.struct(F.col("max_imp"), F.col("entity_type"))).alias("entity_type"),
     )
     return final.select(
         "name_key", "display_name", "entity_type",

@@ -1,11 +1,29 @@
-"""Entity name/type normalization + low-value filtering.
+"""Entity name/type normalization + low-value filtering — the
+reference's rule set reproduced exactly.
 
-Reference semantics: name normalization (core/entity_extraction.py:
-223-246 — whitespace collapse, punctuation strip keeping word chars /
-space / - . ( ) /, sub-floor canonicalization, trailing-parenthetical
-strip), type normalization (:248-271 — uppercase + mapping table ->
-canonical 10 types, default CONCEPT), low-value entity filter (:273-298,
-:129-148 — importance<0.3, stopword/pronoun/generic/numeric patterns).
+Name normalization (core/entity_extraction.py:223-246, same step
+order): whitespace collapse + strip; punctuation strip keeping word
+chars / space / - . ( ) /; sub-floor and sub-structure
+canonicalization; removal of ALL parenthetical content (replaced by a
+space); final whitespace collapse + strip.
+
+Type normalization (core/entity_extraction.py:248-271, same
+algorithm): full-string mapping-table lookup on the upper-trimmed
+type; else, for parenthesized types, the pre-paren base IF it is a
+canonical type; else strip ``**TYPE**`` stars; else CONCEPT unless the
+result is already canonical. The mapping-table *content* is
+configuration: the reference enumerates the messy forms its LLM emits
+(entity_extraction.py:151-217); vocab.TYPE_ALIASES enumerates the
+messy forms the deterministic fixture extractor emits.
+
+Low-value filter (core/entity_extraction.py:273-298): importance<0.3,
+then the reference's LOW_VALUE_PATTERNS (:129-148) matched
+case-insensitively against the lowercased normalized name, then the
+generic-CONCEPT patterns for importance<0.6 (:289-296).
+
+Documented divergence: Python regexes here use Unicode ``\\w``/``\\b``
+while the Spark twins use Java regex semantics — identical on the
+ASCII fixture corpus.
 
 Two implementations with identical behavior, tested against each other:
 ``norm_*_col`` (native Spark Column expressions — WholeStageCodegen,
@@ -21,79 +39,106 @@ from itertools import chain
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .vocab import TYPE_ALIASES
+from .vocab import CANONICAL_TYPES, TYPE_ALIASES
 
 # -- name normalization ------------------------------------------------------
 
 _PUNCT_RE = r"[^\w\s\-\.\(\)/]"
-_TRAILING_PAREN_RE = r"\s*\([^)]*\)\s*$"
-_SUBFLOOR_RE = r"(?i)sub[\s\-]+floor"
+_ALL_PAREN_RE = r"\s*\([^)]*\)\s*"
+_SUBFLOOR_RE = r"(?i)\b(?:sub[\-\s]?floor)\b"
+_SUBSTRUCTURE_RE = r"(?i)\b(?:sub[\-\s]?structure)\b"
 
 
 def norm_name_col(name: Column) -> Column:
-    c = F.regexp_replace(name, _PUNCT_RE, "")
+    c = F.regexp_replace(F.trim(name), r"\s+", " ")
+    c = F.regexp_replace(c, _PUNCT_RE, "")
     c = F.regexp_replace(c, _SUBFLOOR_RE, "subfloor")
-    c = F.regexp_replace(c, _TRAILING_PAREN_RE, "")
-    c = F.regexp_replace(c, r"\s+", " ")
-    c = F.trim(c)
-    # strip trailing dots/commas left by punctuation-adjacent mentions
-    c = F.regexp_replace(c, r"[\.\s]+$", "")
-    return c
+    c = F.regexp_replace(c, _SUBSTRUCTURE_RE, "substructure")
+    c = F.regexp_replace(c, _ALL_PAREN_RE, " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
 def py_norm_name(name: str) -> str:
-    c = re.sub(_PUNCT_RE, "", name or "")
-    c = re.sub(_SUBFLOOR_RE, "subfloor", c)
-    c = re.sub(_TRAILING_PAREN_RE, "", c)
-    c = re.sub(r"\s+", " ", c)
-    c = c.strip()
-    c = re.sub(r"[\.\s]+$", "", c)
-    return c
+    c = re.sub(r"\s+", " ", (name or "").strip())
+    c = re.sub(_PUNCT_RE, "", c)
+    c = re.sub(r"\b(?:sub[\-\s]?floor)\b", "subfloor", c, flags=re.IGNORECASE)
+    c = re.sub(r"\b(?:sub[\-\s]?structure)\b", "substructure", c, flags=re.IGNORECASE)
+    c = re.sub(_ALL_PAREN_RE, " ", c)
+    return re.sub(r"\s+", " ", c).strip()
 
 
 # -- type normalization ------------------------------------------------------
+
+_STAR_RE = r"^\*+([A-Z]+)\*+$"
+
 
 def _type_map_col() -> Column:
     return F.create_map(*[F.lit(x) for x in chain.from_iterable(TYPE_ALIASES.items())])
 
 
 def norm_type_col(etype: Column) -> Column:
-    key = F.upper(F.trim(F.regexp_replace(etype, r"\s*\([^)]*\)\s*$", "")))
-    return F.coalesce(_type_map_col()[key], F.lit("CONCEPT"))
+    cleaned = F.upper(F.trim(etype))
+    mapped = _type_map_col()[cleaned]
+    base = F.trim(F.element_at(F.split(cleaned, r"\("), 1))
+    base_hit = F.when(
+        cleaned.contains("(") & cleaned.contains(")") & base.isin(CANONICAL_TYPES), base
+    )
+    star = F.regexp_replace(cleaned, _STAR_RE, "$1")
+    star_hit = F.when(star.isin(CANONICAL_TYPES), star)
+    return F.coalesce(mapped, base_hit, star_hit, F.lit("CONCEPT"))
 
 
 def py_norm_type(etype: str) -> str:
-    key = re.sub(r"\s*\([^)]*\)\s*$", "", etype or "").strip().upper()
-    return TYPE_ALIASES.get(key, "CONCEPT")
+    cleaned = (etype or "").strip().upper()
+    if cleaned in TYPE_ALIASES:
+        return TYPE_ALIASES[cleaned]
+    if "(" in cleaned and ")" in cleaned:
+        base = cleaned.split("(")[0].strip()
+        if base in CANONICAL_TYPES:
+            return base
+    cleaned = re.sub(_STAR_RE, r"\1", cleaned)
+    if cleaned not in CANONICAL_TYPES:
+        return "CONCEPT"
+    return cleaned
 
 
 # -- low-value filter --------------------------------------------------------
 
 MIN_IMPORTANCE = 0.3
 
+# The reference's pattern set verbatim (entity_extraction.py:129-148);
+# matched against the lowercased normalized name, case-insensitively
+# (entity_extraction.py:283-286).
 LOW_VALUE_PATTERNS = [
-    r"(?i)^(the|this|that|these|those|it|they|he|she|we|you|i|a|an)$",
-    r"(?i)^(data|information|system|systems|document|documents|overview|item|items|thing|things|stuff|people)$",
-    r"(?i)^(various|several|many|some|other|misc|miscellaneous)\b.*$",
+    r"^(?:the|and|or|but|with|from|for|at|by|on|in|to|of|a|an)$",
+    r"^(?:this|that|these|those|here|there|where|when|what|who|how|why)$",
+    r"^(?:company|organization|group|team|department|division|system|process|method|approach|way|means)$",
+    r"^(?:data|information|content|text|document|report|file|item|thing|stuff)$",
+    r"^(?:new|old|first|last|next|previous|current|recent|good|bad|big|small|high|low|major|minor)$",
     r"^\d{1,3}$",
-    r"^.{0,2}$",
+    r"^[a-zA-Z]$",
+    r"^.{1,2}$",
+    r"^\.[a-z]{2,4}$",
+    r"^[A-Z]{1,3}\d*$",
 ]
+# Generic-CONCEPT patterns (entity_extraction.py:289-296).
 GENERIC_CONCEPT_PATTERNS = [
-    r"(?i)^(concept|idea|topic|theory|approach|method|process)s?$",
-    r"(?i)^(general|common|basic)\b.*$",
-    r"(?i)^\w+ing$",
+    r"^(?:management|system|program|process|method|approach|solution)$",
+    r"^(?:inspection|treatment|damage|condition|presence|lack)$",
+    r"^(?:area|areas|location|locations|structure|structures)$",
 ]
-_LOW_RE = [re.compile(p) for p in LOW_VALUE_PATTERNS]
-_GEN_RE = [re.compile(p) for p in GENERIC_CONCEPT_PATTERNS]
+_LOW_RE = [re.compile(p, re.IGNORECASE) for p in LOW_VALUE_PATTERNS]
+_GEN_RE = [re.compile(p, re.IGNORECASE) for p in GENERIC_CONCEPT_PATTERNS]
 
 
 def is_low_value_col(name: Column, etype: Column, importance: Column) -> Column:
+    name_lower = F.lower(name)
     low = importance < MIN_IMPORTANCE
     for p in LOW_VALUE_PATTERNS:
-        low = low | name.rlike(p)
+        low = low | name_lower.rlike("(?i)" + p)
     generic = F.lit(False)
     for p in GENERIC_CONCEPT_PATTERNS:
-        generic = generic | name.rlike(p)
+        generic = generic | name_lower.rlike("(?i)" + p)
     low = low | ((etype == "CONCEPT") & (importance < 0.6) & generic)
     return low
 
@@ -101,12 +146,13 @@ def is_low_value_col(name: Column, etype: Column, importance: Column) -> Column:
 def py_is_low_value(name: str, etype: str, importance: float) -> bool:
     if importance < MIN_IMPORTANCE:
         return True
+    name_lower = name.lower().strip()
     for p in _LOW_RE:
-        if p.match(name):
+        if p.match(name_lower):
             return True
     if etype == "CONCEPT" and importance < 0.6:
         for p in _GEN_RE:
-            if p.match(name):
+            if p.match(name_lower):
                 return True
     return False
 
@@ -123,12 +169,13 @@ def surface_norm_map(mentions_raw: DataFrame) -> DataFrame:
     identical (verified by tests against the per-row column functions).
     """
     pairs = mentions_raw.select("name", "type_or_target").distinct()
+    name_lower = F.lower(F.col("norm_name"))
     low_name = F.lit(False)
     for p in LOW_VALUE_PATTERNS:
-        low_name = low_name | F.col("norm_name").rlike(p)
+        low_name = low_name | name_lower.rlike("(?i)" + p)
     generic = F.lit(False)
     for p in GENERIC_CONCEPT_PATTERNS:
-        generic = generic | F.col("norm_name").rlike(p)
+        generic = generic | name_lower.rlike("(?i)" + p)
     return (
         pairs.withColumn("norm_name", norm_name_col(F.col("name")))
         .withColumn("norm_type", norm_type_col(F.col("type_or_target")))

@@ -60,7 +60,7 @@ class _UnionFind:
 
 @dataclass
 class OracleResult:
-    entities: dict[str, dict] = field(default_factory=dict)  # name_key -> merged entity
+    entities: dict[tuple[str, str], dict] = field(default_factory=dict)  # (name_key, type) -> merged entity
     cmap: dict[str, str] = field(default_factory=dict)  # name_key -> canonical name
     triples: list[dict] = field(default_factory=list)
     mentions: list[tuple[str, str]] = field(default_factory=list)  # (chunk_id, name_key)
@@ -95,19 +95,19 @@ def run_oracle(docs: list[tuple[str, list[dict]]], chunk_size: int = 1000, overl
                         "description": e["description"],
                     }
                 )
-            # E9: per-chunk dedup by name_key
-            by_key: dict[str, list[dict]] = defaultdict(list)
+            # E9: per-chunk dedup keyed (name_key, type) — the
+            # reference's dedup key (entity_extraction.py:306-310)
+            by_key: dict[tuple[str, str], list[dict]] = defaultdict(list)
             for r in norm_rows:
-                by_key[r["name_key"]].append(r)
-            for key, rows in by_key.items():
+                by_key[(r["name_key"], r["type"])].append(r)
+            for (key, etype), rows in by_key.items():
                 best = max(rows, key=lambda r: (r["importance"], r["name"]))
-                best_t = max(rows, key=lambda r: (r["importance"], r["type"]))
                 per_chunk_entities.append(
                     {
                         "chunk_id": chunk_id,
                         "name_key": key,
                         "name": best["name"],
-                        "type": best_t["type"],
+                        "type": etype,
                         "importance": sum(r["importance"] for r in rows) / len(rows),
                         "description": max(
                             (r["description"] for r in rows), key=lambda d: (len(d), d)
@@ -129,16 +129,17 @@ def run_oracle(docs: list[tuple[str, list[dict]]], chunk_size: int = 1000, overl
                     }
                 )
 
-    # E10/E11: global dedup by name_key
-    groups: dict[str, list[dict]] = defaultdict(list)
+    # E10/E11: global dedup keyed (name_key, type) — reference
+    # entity_extraction.py:552-557 runs the same (name, type)-keyed
+    # _deduplicate_entities over the whole document's entity list
+    groups: dict[tuple[str, str], list[dict]] = defaultdict(list)
     for r in per_chunk_entities:
-        groups[r["name_key"]].append(r)
-    for key, rows in groups.items():
-        max_imp_rows = [r for r in rows if r["importance"] == max(x["importance"] for x in rows)]
-        res.entities[key] = {
+        groups[(r["name_key"], r["type"])].append(r)
+    for (key, etype), rows in groups.items():
+        res.entities[(key, etype)] = {
             "name_key": key,
             "display_name": min(r["name"] for r in rows),
-            "entity_type": max(r["type"] for r in max_imp_rows),
+            "entity_type": etype,
             "importance": round(sum(r["importance"] for r in rows) / len(rows), 6),
             "description": max((r["description"] for r in rows), key=lambda d: (len(d), d)),
             "source_chunks": sorted({r["chunk_id"] for r in rows}),
@@ -147,12 +148,12 @@ def run_oracle(docs: list[tuple[str, list[dict]]], chunk_size: int = 1000, overl
         for r in rows:
             res.mentions.append((r["chunk_id"], key))
 
-    # alias linking (J3)
+    # alias linking (J3) — the dictionary is keyed by surface name only
     adict = _alias_dict()
-    linked: dict[str, dict] = {}
-    for key, ent in res.entities.items():
+    linked: dict[tuple[str, str], dict] = {}
+    for (key, _etype), ent in res.entities.items():
         hit = adict.get(key)
-        linked[key] = {
+        linked[(key, _etype)] = {
             **ent,
             "canonical_name": hit[0] if hit else ent["display_name"],
             "canonical_type": hit[1] if hit else ent["entity_type"],
@@ -162,10 +163,10 @@ def run_oracle(docs: list[tuple[str, list[dict]]], chunk_size: int = 1000, overl
 
     # connected components (G2) over surface->canonical edges
     uf = _UnionFind()
-    for key, ent in linked.items():
+    for (key, _etype), ent in linked.items():
         uf.union(key, ent["canonical_name"].lower())
     comp_members: dict[str, list[dict]] = defaultdict(list)
-    for key, ent in linked.items():
+    for (key, _etype), ent in linked.items():
         comp_members[uf.find(key)].append(ent)
     for comp, members in comp_members.items():
         rep = max(

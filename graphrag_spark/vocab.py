@@ -87,6 +87,12 @@ TYPE_ALIASES: dict[str, str] = {
     "PRICE": "MONEY",
     "COST": "MONEY",
 }
+# Parenthesized variants the fixture extractor emits (" (primary)"),
+# enumerated in the table exactly as the reference enumerates the
+# parenthetical forms its LLM emits (entity_extraction.py:151-217) —
+# the normalization *algorithm* only falls back to pre-paren base
+# types when they are already canonical.
+TYPE_ALIASES.update({f"{k} (PRIMARY)": v for k, v in list(TYPE_ALIASES.items())})
 
 _FIRST = [
     "Alice", "Boris", "Carmen", "Dmitri", "Elena", "Farid", "Greta",

@@ -28,6 +28,13 @@ def test_norm_name_examples():
         "Sub Floor": "subfloor",
         "weird*chars&here!": "weirdcharshere",
         "": "",
+        # interior parentheticals are removed (replaced by a space),
+        # not just trailing ones (entity_extraction.py:242-244)
+        "Quantum (QD) Dynamics": "Quantum Dynamics",
+        "sub structure report": "substructure report",
+        # '.' is in the keep set — trailing dots survive like the
+        # reference's output
+        "Helix Labs.": "Helix Labs.",
     }
     for raw, want in cases.items():
         assert py_norm_name(raw) == want, raw
@@ -39,6 +46,14 @@ def test_norm_type_examples():
     assert py_norm_type("HUMAN (primary)") == "PERSON"
     assert py_norm_type("unknown-thing") == "CONCEPT"
     assert py_norm_type("") == "CONCEPT"
+    # reference algorithm branches (entity_extraction.py:248-271):
+    # unmapped parenthesized type falls back to its pre-paren base only
+    # when the base is canonical
+    assert py_norm_type("PERSON (AUTHOR ROLE)") == "PERSON"
+    assert py_norm_type("GIZMO (THING)") == "CONCEPT"
+    # '**TYPE**' star stripping
+    assert py_norm_type("**LOCATION**") == "LOCATION"
+    assert py_norm_type("**WIDGET**") == "CONCEPT"
 
 
 def test_spark_matches_python_on_alias_corpus(spark):

@@ -38,7 +38,7 @@ def test_nodes_match_oracle_entities(pipeline_out, doc_rows):
     _, out, _ = pipeline_out
     oracle = run_oracle(doc_rows)
     got = {r["name"].upper() for r in out["nodes"].select("name").collect()}
-    want = {oracle.cmap[k].upper() for k in oracle.entities}
+    want = {oracle.cmap[k].upper() for k, _etype in oracle.entities}
     inter = len(got & want)
     assert inter / max(len(got), 1) >= 0.95
     assert inter / max(len(want), 1) >= 0.95
