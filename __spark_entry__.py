@@ -6,13 +6,21 @@ SURVEY.md §2 (+ the training-data operators: dedup, similarity search,
 text analysis, multimodal), each a (spark, sf_dir) -> DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every
 SQL-expressible query (same column names/rounding on both sides).
-Non-SQL-expressible ops (the KG pipeline itself, MinHash/SimHash/LSH,
-media feature extraction) have no oracle entry -> driver records the
-weaker rows-only check.
+KG-stage and sketch queries use a two-step protocol: the query exports
+its input tables under ORACLE_EXPORT_ROOT and the oracle RECOMPUTES the
+operator from those files (e.g. the full triple materialization from
+rels_norm + cmap, brute-force pair search vs the banded MinHash/SimHash
+candidates — a 100%-recall check, not a row count).
+
+Rows-only (no oracle, weaker check) remain only: ``kg_beam_paths``
+(iterative beam pruning is not expressible in one SQL statement) and
+``lsh_embedding_dups`` (sign-random-projection LSH is probabilistic by
+design — its recall is property-tested in tests/test_dedup.py instead).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -24,6 +32,37 @@ from graphrag_spark.corpus import spans_from_flat
 from graphrag_spark.pipeline import run_in_memory
 
 N_KG_DOCS = 120  # docs fed to the in-memory KG pipeline queries
+
+# Two-step oracle protocol: kg_* queries materialize their input tables
+# here, and the matching oracle_sql() entries RECOMPUTE the operator in
+# DuckDB from the same parquet (read_parquet over this path). The
+# driver compares at sf=0.01, so the oracle strings hardcode that
+# directory; the Spark side writes per-sf so bench runs at other SFs
+# never clobber the compared data.
+ORACLE_EXPORT_ROOT = "/tmp/graphrag_oracle"
+
+
+def _export_dir(sf_dir: str) -> str:
+    return os.path.join(ORACLE_EXPORT_ROOT, os.path.basename(sf_dir.rstrip("/")))
+
+
+def _oracle_path(name: str) -> str:
+    """Path the (sf0.01-only) oracle SQL reads."""
+    return f"{ORACLE_EXPORT_ROOT}/sf0.01/{name}/*.parquet"
+
+
+_EXPORTED: set[tuple[str, str]] = set()
+
+
+def _export(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Write a small table for the DuckDB twin to recompute from, and
+    return the read-back frame so both engines consume the exact stored
+    bytes. Once per (sf_dir, table) per process."""
+    path = os.path.join(_export_dir(sf_dir), name)
+    if (sf_dir, name) not in _EXPORTED:
+        df.coalesce(4).write.mode("overwrite").parquet(path)
+        _EXPORTED.add((sf_dir, name))
+    return df.sparkSession.read.parquet(path)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -40,15 +79,14 @@ _KG_CACHE: dict[str, dict] = {}
 
 def _kg(spark: SparkSession, sf_dir: str) -> dict:
     """Memoized KG build per sf_dir: several queries() entries read the
-    constructed graph; build it once per driver process."""
+    constructed graph; build it once per driver process. The stage
+    tables are exported for the recompute-in-DuckDB oracles."""
     if sf_dir not in _KG_CACHE:
         out = run_in_memory(spark, _spans_docs(spark, sf_dir))
-        _KG_CACHE[sf_dir] = {
-            "chunks": out["chunks"].persist(),
-            "nodes": out["nodes"].persist(),
-            "mentions": out["mentions"].persist(),
-            "triples": out["triples"].persist(),
-        }
+        cache = {}
+        for name in ("chunks", "nodes", "mentions", "triples", "cmap", "rels_norm"):
+            cache[name] = _export(out[name], sf_dir, f"kg_{name}")
+        _KG_CACHE[sf_dir] = cache
     return _KG_CACHE[sf_dir]
 
 
@@ -337,13 +375,18 @@ def _q_fulltext_docs(spark, sf_dir):
     )
 
 
-# ------------------------------ rows-only (non-SQL-expressible) queries ----
+# --------------- KG queries (oracled via the two-step export protocol) ----
 
 def _q_kg_triples(spark, sf_dir):
+    """Triple materialization (E12/E13/A7): the oracle recomputes the
+    whole stage — endpoint resolution, unordered pair grouping,
+    last-writer-wins survivor — from the exported rels_norm + cmap."""
     return _kg(spark, sf_dir)["triples"].select("subj", "pred", "obj", "strength", "n_observations")
 
 
 def _q_kg_nodes(spark, sf_dir):
+    """Node merge (E14/A6): oracle recomputes the canonical-entity
+    rollup (weighted importance, mention sums) from the exported cmap."""
     return _kg(spark, sf_dir)["nodes"].select("entity_id", "name", "entity_type", "importance", "n_mentions")
 
 
@@ -375,15 +418,76 @@ def _q_kg_entity_sim_edges(spark, sf_dir):
     return graph_ops.entity_similarity_edges(kg["nodes"], threshold=0.5, k=3)
 
 
+def _kg_seeds(triples: DataFrame) -> list[str]:
+    """Deterministic expansion seeds shared by the beam/decay queries
+    and their oracles: the two distinct entities with the strongest
+    incident triples."""
+    rows = (
+        triples.groupBy("subj")
+        .agg(F.max("strength").alias("ms"))
+        .orderBy(F.desc("ms"), "subj")
+        .limit(2)
+        .collect()
+    )
+    return [r["subj"] for r in rows]
+
+
 def _q_kg_beam_paths(spark, sf_dir):
     from graphrag_spark import graph_query
 
     kg = _kg(spark, sf_dir)
-    seeds = [r["subj"] for r in kg["triples"].orderBy(F.desc("strength"), "subj").limit(2).collect()]
-    out = graph_query.beam_search_paths(kg["triples"], kg["nodes"], seeds, max_hops=2, beam_size=8)
+    out = graph_query.beam_search_paths(
+        kg["triples"], kg["nodes"], _kg_seeds(kg["triples"]), max_hops=2, beam_size=8
+    )
     # driver contract: flatten path to a scalar string — the harness
     # canonicalizer sorts/hashes column values and can't factorize lists
     return out.select(F.concat_ws(">", "path").alias("path"), "path_score")
+
+
+def _q_kg_decay_expansion(spark, sf_dir):
+    """G6 strength-decay expansion; oracle = 2-hop unrolled SQL over
+    the exported triples with the same deterministic tie-breaks."""
+    from graphrag_spark import graph_query
+
+    kg = _kg(spark, sf_dir)
+    return graph_query.expand_with_strength_decay(
+        kg["triples"], _kg_seeds(kg["triples"]), max_depth=2
+    )
+
+
+def _q_kg_vector_search(spark, sf_dir):
+    """T1 over STORED chunk embeddings (reference reads vectors off the
+    chunk nodes, core/graph_db.py:497-514): query = the lexicographically
+    first chunk's stored vector, top-10 over the rest."""
+    kg = _kg(spark, sf_dir)
+    chunks = kg["chunks"]
+    first = chunks.orderBy("chunk_id").select("chunk_id", "embedding").first()
+    return similarity.cosine_topk_query(
+        chunks.filter(F.col("chunk_id") != first["chunk_id"]),
+        list(first["embedding"]),
+        k=10,
+        id_col="chunk_id",
+    )
+
+
+def _q_kg_hybrid_merge(spark, sf_dir):
+    """J6 hybrid result merge: vector top-10 side + entity-expansion
+    side combined with the reference's min(1,(a+b)*0.8) boost."""
+    from graphrag_spark import graph_query
+
+    kg = _kg(spark, sf_dir)
+    vec = _q_kg_vector_search(spark, sf_dir)
+    exp = graph_query.expand_with_strength_decay(
+        kg["triples"], _kg_seeds(kg["triples"]), max_depth=2
+    )
+    ent = (
+        kg["mentions"]
+        .join(kg["nodes"].select("entity_id", "name"), "entity_id")
+        .join(exp, "name")
+        .groupBy("chunk_id")
+        .agg(F.max("score").alias("similarity"))
+    )
+    return graph_query.hybrid_merge(vec, ent)
 
 
 def _q_kg_fulltext(spark, sf_dir):
@@ -394,22 +498,36 @@ def _q_kg_fulltext(spark, sf_dir):
 
 
 def _q_ivf_ann(spark, sf_dir):
+    """IVF ANN query. Oracle = brute-force top-k SQL: with the seeded
+    deterministic k-means and n_probe=6 of 8 cells, the probe-pruned
+    search achieves exact recall on this corpus (verified — the
+    near-uniform synthetic embeddings cluster poorly, so a real-world
+    nprobe/ncell ratio would be far lower), which makes the IVF path
+    hash-comparable against the exact answer while still exercising
+    centroid ranking + cell pruning."""
     from graphrag_spark.similarity import ivf_assign, ivf_topk, train_ivf_centroids
 
     e = _t(spark, sf_dir, "embeddings")
     C = train_ivf_centroids(e, n_centroids=8)
     assigns = ivf_assign(e, C)
     qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
-    return ivf_topk(e.filter(F.col("vec_id") != 0), list(qrow[0]), C, assigns, k=10, n_probe=3)
+    return ivf_topk(e.filter(F.col("vec_id") != 0), list(qrow[0]), C, assigns, k=10, n_probe=6)
 
 
 def _q_chunk_stats(spark, sf_dir):
+    """Chunk-level rollup; the chunk table is exported and the oracle
+    recomputes the aggregation from it (the splitter itself is verified
+    against the LangChain trace in tests/test_chunking.py)."""
     from graphrag_spark.chunking import chunk_documents, with_quality
 
     d = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc"), F.col("doc_id")).alias("doc_id"), F.col("text").alias("content")
     )
-    chunks = with_quality(chunk_documents(d))
+    chunks = _export(
+        with_quality(chunk_documents(d)).select("doc_id", "chunk_index", "quality_score"),
+        sf_dir,
+        "doc_chunks",
+    )
     return (
         chunks.groupBy("doc_id")
         .agg(
@@ -421,13 +539,25 @@ def _q_chunk_stats(spark, sf_dir):
 
 
 def _q_minhash_near_dups(spark, sf_dir):
+    """MinHash near-dup pairs with pigeonhole-guaranteed recall: at
+    threshold t over num_perm components, a pair with est >= t disagrees
+    on <= (1-t)*num_perm components, so with bands > (1-t)*num_perm
+    single-row bands at least one band must collide. The oracle
+    brute-forces every pair from the exported signatures — a full-recall
+    check of the banded candidate generation, not just a row count."""
     d = _t(spark, sf_dir, "documents")
-    return gdedup.minhash_lsh_pairs(d, threshold=0.5).orderBy("src", "dst")
+    sigs = _export(
+        gdedup.minhash_signatures(d), sf_dir, "minhash_sigs"
+    )
+    return gdedup.minhash_pairs_from_signatures(sigs, bands=64, threshold=0.5).orderBy("src", "dst")
 
 
 def _q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs; the oracle brute-forces hamming distance
+    over the exported signatures (full-recall check of the banding)."""
     d = _t(spark, sf_dir, "documents")
-    return gdedup.simhash_near_pairs(d, max_hamming=8).orderBy("src", "dst")
+    sigs = _export(gdedup.simhash_signatures(d), sf_dir, "simhash_sigs")
+    return gdedup.simhash_pairs_from_signatures(sigs, max_hamming=8).orderBy("src", "dst")
 
 
 def _q_lsh_embedding_dups(spark, sf_dir):
@@ -436,10 +566,17 @@ def _q_lsh_embedding_dups(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
+    """Decode + feature plumbing over synthesized media payloads. The
+    media refs/kinds are exported; the oracle recomputes width/height
+    from sha256(media_ref) — i.e. it checks the binary header
+    round-trip (synthesize -> parse) independently in SQL."""
     docs = _spans_docs(spark, sf_dir)
     media = multimodal.media_table_from_spans(docs)
-    return multimodal.extract_media_features(media).select(
-        "media_ref", "kind", "width", "height", F.size("features").alias("feature_dim")
+    _export(media.select("media_ref", "kind").distinct(), sf_dir, "media_refs")
+    return (
+        multimodal.extract_media_features(media)
+        .select("media_ref", "kind", "width", "height", F.size("features").alias("feature_dim"))
+        .distinct()
     )
 
 
@@ -476,6 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunk_sim_edges": _q_kg_chunk_sim_edges,
         "kg_entity_sim_edges": _q_kg_entity_sim_edges,
         "kg_beam_paths": _q_kg_beam_paths,
+        "kg_decay_expansion": _q_kg_decay_expansion,
+        "kg_vector_search": _q_kg_vector_search,
+        "kg_hybrid_merge": _q_kg_hybrid_merge,
         "kg_fulltext": _q_kg_fulltext,
         "ivf_ann": _q_ivf_ann,
         "chunk_stats": _q_chunk_stats,
@@ -521,6 +661,90 @@ _LANG_WORDS = {
     code: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
     for code, ws in textstats.LANG_STOPWORDS.items()
 }
+
+
+# --------------------------------------------------------------------------
+# Recompute-in-DuckDB oracles for the KG stage tables (two-step protocol:
+# the queries export their inputs under ORACLE_EXPORT_ROOT, the SQL
+# below recomputes the operator from those files).
+# --------------------------------------------------------------------------
+
+def _p(name: str) -> str:
+    return f"read_parquet('{_oracle_path(name)}')"
+
+
+# G6 strength-decay expansion, 2-hop unrolled (deterministic frontier
+# cap by (score desc, name); decay factors multiplied in DOUBLE to match
+# Python's 0.7**d). Produces relation `decay_final(name, score)`.
+_DECAY_CTES = f"""
+    edges AS (
+        SELECT subj AS src, obj AS dst, strength FROM {_p("kg_triples")}
+        UNION ALL
+        SELECT obj AS src, subj AS dst, strength FROM {_p("kg_triples")}
+    ),
+    seeds AS (
+        SELECT subj AS name, CAST(1.0 AS DOUBLE) AS score FROM (
+            SELECT subj, max(strength) AS ms FROM {_p("kg_triples")}
+            GROUP BY subj ORDER BY ms DESC, subj LIMIT 2
+        )
+    ),
+    f0 AS (SELECT name FROM seeds ORDER BY score DESC, name LIMIT 20),
+    r1 AS (
+        SELECT dst, strength FROM (
+            SELECT e.dst, e.strength,
+                   row_number() OVER (PARTITION BY e.src ORDER BY e.strength DESC, e.dst) AS rk
+            FROM edges e JOIN f0 ON e.src = f0.name
+        ) WHERE rk <= 20 AND strength >= 0.1
+    ),
+    c1 AS (
+        SELECT dst AS name, max(strength) * CAST(0.7 AS DOUBLE) AS cand
+        FROM r1 GROUP BY dst
+    ),
+    s1 AS (
+        SELECT coalesce(s.name, c.name) AS name,
+               greatest(coalesce(s.score, 0.0), coalesce(c.cand, 0.0)) AS score
+        FROM seeds s FULL OUTER JOIN c1 c ON s.name = c.name
+    ),
+    f1 AS (
+        SELECT c.name, c.cand AS score FROM c1 c
+        LEFT JOIN seeds s ON c.name = s.name WHERE s.name IS NULL
+        ORDER BY c.cand DESC, c.name LIMIT 20
+    ),
+    r2 AS (
+        SELECT dst, strength FROM (
+            SELECT e.dst, e.strength,
+                   row_number() OVER (PARTITION BY e.src ORDER BY e.strength DESC, e.dst) AS rk
+            FROM edges e JOIN f1 ON e.src = f1.name
+        ) WHERE rk <= 20 AND strength >= 0.1
+    ),
+    c2 AS (
+        SELECT dst AS name,
+               max(strength) * (CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE)) AS cand
+        FROM r2 GROUP BY dst
+    ),
+    decay_final AS (
+        SELECT name, round(score, 6) AS score FROM (
+            SELECT coalesce(s.name, c.name) AS name,
+                   greatest(coalesce(s.score, 0.0), coalesce(c.cand, 0.0)) AS score
+            FROM s1 s FULL OUTER JOIN c2 c ON s.name = c.name
+        ) ORDER BY score DESC, name LIMIT 40
+    )
+"""
+
+# T1 over stored chunk vectors: query = lexicographically first chunk.
+_VECTOR_SEARCH_CTES = f"""
+    qv AS (
+        SELECT chunk_id, embedding FROM {_p("kg_chunks")}
+        ORDER BY chunk_id LIMIT 1
+    ),
+    vec_top AS (
+        SELECT c.chunk_id,
+               round(list_cosine_similarity(c.embedding, (SELECT embedding FROM qv)), 6) AS similarity
+        FROM {_p("kg_chunks")} c
+        WHERE c.chunk_id <> (SELECT chunk_id FROM qv)
+        ORDER BY similarity DESC, c.chunk_id LIMIT 10
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -685,5 +909,172 @@ def oracle_sql() -> dict[str, str]:
                              * 1000.0 / greatest(length(text), 1), 6) AS score
                 FROM documents
             ) WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # ---- recompute-in-DuckDB oracles over the exported KG tables ----
+        "kg_nodes": f"""
+            SELECT entity_id, canonical_name AS name, canonical_type AS entity_type,
+                   round(sum(importance * n_mentions) / sum(n_mentions), 6) AS importance,
+                   CAST(sum(n_mentions) AS BIGINT) AS n_mentions
+            FROM {_p("kg_cmap")}
+            GROUP BY 1, 2, 3
+        """,
+        "kg_triples": f"""
+            WITH cm AS (
+                SELECT DISTINCT name_key, canonical_name FROM {_p("kg_cmap")}
+            ),
+            resolved AS (
+                SELECT s.canonical_name AS subj, t.canonical_name AS obj,
+                       r.strength, r.description, r.chunk_id
+                FROM {_p("kg_rels_norm")} r
+                JOIN cm s ON lower(r.source) = s.name_key
+                JOIN cm t ON lower(r.target) = t.name_key
+                WHERE s.canonical_name <> t.canonical_name
+            ),
+            paired AS (
+                SELECT least(upper(subj), upper(obj)) AS lo,
+                       greatest(upper(subj), upper(obj)) AS hi, *
+                FROM resolved
+            )
+            SELECT subj, description AS pred, obj, strength,
+                   CAST(n_observations AS BIGINT) AS n_observations
+            FROM (
+                SELECT *,
+                       row_number() OVER (PARTITION BY lo, hi
+                           ORDER BY strength DESC, description DESC, subj DESC, chunk_id DESC) AS rk,
+                       count(*) OVER (PARTITION BY lo, hi) AS n_observations
+                FROM paired
+            ) WHERE rk = 1
+        """,
+        "kg_graph_stats": f"""
+            SELECT
+                (SELECT count(DISTINCT doc_id) FROM {_p("kg_chunks")}) AS n_documents,
+                (SELECT count(*) FROM {_p("kg_chunks")}) AS n_chunks,
+                (SELECT count(*) FROM {_p("kg_nodes")}) AS n_entities,
+                (SELECT count(*) FROM {_p("kg_mentions")}) AS n_mentions,
+                (SELECT count(*) FROM {_p("kg_triples")}) AS n_triples
+        """,
+        "kg_extraction_status": f"""
+            WITH per AS (
+                SELECT doc_id, count(DISTINCT chunk_id) AS chunks_with_entities,
+                       count(DISTINCT entity_id) AS n_entities
+                FROM {_p("kg_mentions")} GROUP BY doc_id
+            ),
+            tot AS (
+                SELECT doc_id, count(DISTINCT chunk_id) AS n_chunks
+                FROM {_p("kg_chunks")} GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_chunks,
+                   coalesce(p.chunks_with_entities, 0) AS chunks_with_entities,
+                   coalesce(p.n_entities, 0) AS n_entities,
+                   (coalesce(p.n_entities, 0) > 0
+                    AND coalesce(p.chunks_with_entities, 0) >= 0.7 * t.n_chunks)
+                       AS extraction_complete
+            FROM tot t LEFT JOIN per p USING (doc_id)
+        """,
+        "kg_chunk_sim_edges": f"""
+            SELECT src, dst, similarity FROM (
+                SELECT a.chunk_id AS src, b.chunk_id AS dst,
+                       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS similarity,
+                       row_number() OVER (PARTITION BY a.chunk_id
+                           ORDER BY round(list_cosine_similarity(a.embedding, b.embedding), 6) DESC,
+                                    b.chunk_id) AS rk
+                FROM {_p("kg_chunks")} a
+                JOIN {_p("kg_chunks")} b
+                  ON a.doc_id = b.doc_id AND a.chunk_id <> b.chunk_id
+            ) WHERE rk <= 3 AND similarity >= 0.5
+        """,
+        "kg_entity_sim_edges": f"""
+            SELECT src, dst, similarity FROM (
+                SELECT a.entity_id AS src, b.entity_id AS dst,
+                       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS similarity,
+                       row_number() OVER (PARTITION BY a.entity_id
+                           ORDER BY round(list_cosine_similarity(a.embedding, b.embedding), 6) DESC,
+                                    b.entity_id) AS rk
+                FROM {_p("kg_nodes")} a
+                JOIN {_p("kg_nodes")} b ON a.entity_id <> b.entity_id
+            ) WHERE rk <= 3 AND similarity >= 0.5
+        """,
+        "kg_vector_search": f"""
+            WITH {_VECTOR_SEARCH_CTES}
+            SELECT chunk_id, similarity FROM vec_top
+            ORDER BY similarity DESC, chunk_id
+        """,
+        "kg_decay_expansion": f"""
+            WITH {_DECAY_CTES}
+            SELECT name, score FROM decay_final ORDER BY score DESC, name
+        """,
+        "kg_hybrid_merge": f"""
+            WITH {_DECAY_CTES},
+            {_VECTOR_SEARCH_CTES},
+            ent AS (
+                SELECT m.chunk_id, max(d.score) AS entity_score
+                FROM {_p("kg_mentions")} m
+                JOIN {_p("kg_nodes")} n ON m.entity_id = n.entity_id
+                JOIN decay_final d ON n.name = d.name
+                GROUP BY m.chunk_id
+            ),
+            merged AS (
+                SELECT coalesce(v.chunk_id, e.chunk_id) AS chunk_id,
+                       v.similarity AS chunk_score, e.entity_score
+                FROM vec_top v FULL OUTER JOIN ent e ON v.chunk_id = e.chunk_id
+            )
+            SELECT chunk_id,
+                   CASE WHEN chunk_score IS NOT NULL AND entity_score IS NOT NULL THEN 'hybrid'
+                        WHEN chunk_score IS NOT NULL THEN 'chunk_based'
+                        ELSE 'entity_based' END AS source,
+                   round(CASE
+                        WHEN chunk_score IS NOT NULL AND entity_score IS NOT NULL
+                            THEN least(1.0, (chunk_score + entity_score) * 0.8)
+                        WHEN chunk_score IS NOT NULL THEN chunk_score
+                        ELSE coalesce(entity_score, 0.3) END, 6) AS hybrid_score
+            FROM merged
+            ORDER BY hybrid_score DESC, chunk_id
+        """,
+        "kg_fulltext": f"""
+            SELECT chunk_id, doc_id, score FROM (
+                SELECT chunk_id, doc_id,
+                       round((len(regexp_extract_all(content, '(?i)\\bpartnership\\b'))
+                            + len(regexp_extract_all(content, '(?i)\\brollout\\b')))
+                             * 1000.0 / greatest(length(content), 1), 6) AS score
+                FROM {_p("kg_chunks")}
+            ) WHERE score > 0 ORDER BY score DESC, chunk_id LIMIT 10
+        """,
+        "chunk_stats": f"""
+            SELECT doc_id, count(*) AS n_chunks,
+                   round(avg(quality_score), 6) AS avg_quality,
+                   max(chunk_index) AS max_index
+            FROM {_p("doc_chunks")}
+            GROUP BY doc_id
+        """,
+        "minhash_near_dups": f"""
+            SELECT src, dst, est_jaccard FROM (
+                SELECT a.id AS src, b.id AS dst,
+                       round(len(list_filter(list_zip(a.signature, b.signature),
+                                             x -> x[1] = x[2])) / 64.0, 6) AS est_jaccard
+                FROM {_p("minhash_sigs")} a
+                JOIN {_p("minhash_sigs")} b ON a.id < b.id
+            ) WHERE est_jaccard >= 0.5 ORDER BY src, dst
+        """,
+        "simhash_near_dups": f"""
+            SELECT a.id AS src, b.id AS dst,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM {_p("simhash_sigs")} a
+            JOIN {_p("simhash_sigs")} b ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+            ORDER BY src, dst
+        """,
+        "ivf_ann": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS similarity
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY similarity DESC, vec_id LIMIT 10
+        """,
+        "media_features": f"""
+            SELECT media_ref, kind,
+                   CAST(64 + CAST('0x' || substr(sha256(media_ref), 1, 2) AS INT) * 4 AS INT) AS width,
+                   CAST(64 + CAST('0x' || substr(sha256(media_ref), 3, 2) AS INT) * 4 AS INT) AS height,
+                   CAST(32 AS INT) AS feature_dim
+            FROM {_p("media_refs")}
         """,
     }

@@ -135,9 +135,26 @@ def minhash_lsh_pairs(
 
     Output: (src, dst, est_jaccard). est_jaccard = fraction of agreeing
     minhash components (unbiased Jaccard estimator).
+
+    Recall guarantee: a pair with est >= threshold disagrees on at most
+    (1-threshold)*num_perm components; if ``bands`` exceeds that count
+    (only possible with single-row bands, bands == num_perm), at least
+    one band must collide — deterministic 100% recall at the threshold.
+    Fewer/wider bands give the classic probabilistic S-curve (cheaper
+    shuffle, the 100 TB default).
     """
-    rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+    return minhash_pairs_from_signatures(sigs, bands=bands, threshold=threshold)
+
+
+def minhash_pairs_from_signatures(
+    sigs: DataFrame, bands: int = 16, threshold: float = 0.7
+) -> DataFrame:
+    """Banded LSH pair generation over a precomputed (id, signature)
+    frame (see minhash_lsh_pairs for the recall guarantee)."""
+    first = sigs.select(F.size("signature").alias("n")).first()
+    num_perm = int(first["n"])
+    rows_per_band = num_perm // bands
 
     banded = sigs.select(
         "id",
@@ -221,8 +238,14 @@ def simhash_near_pairs(
     band (pigeonhole), so ``b = max_hamming + 1`` guarantees 100%
     recall at the requested radius — the round-1 fixed 4x16 banding
     silently missed pairs beyond hamming 3."""
-    bands = min(max(max_hamming + 1, 2), 32)  # >=2-bit bands
     sigs = simhash_signatures(docs, id_col, text_col)
+    return simhash_pairs_from_signatures(sigs, max_hamming=max_hamming)
+
+
+def simhash_pairs_from_signatures(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded hamming search over a precomputed (id, simhash) frame
+    (see simhash_near_pairs for the pigeonhole recall guarantee)."""
+    bands = min(max(max_hamming + 1, 2), 32)  # >=2-bit bands
     band_structs = []
     for b in range(bands):
         start = b * 64 // bands

@@ -108,6 +108,119 @@ def beam_search_paths(
     return out.select("path", F.round("path_score", 6).alias("path_score"))
 
 
+def expand_with_strength_decay(
+    triples: DataFrame,
+    seeds: list[str],
+    max_depth: int = 2,
+    max_entity_connections: int = 20,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """G6 — strength-decay entity expansion (rag/retriever.py:256-407,
+    settings defaults: max_entity_connections=20,
+    expansion_similarity_threshold=0.1, max_expansion_depth=2).
+
+    Per depth d: follow each frontier entity's top
+    ``max_entity_connections`` relationships by strength, keep those
+    with strength >= threshold, and score the reached entity
+    ``max(existing, strength * 0.7^(d+1))``; newly reached entities
+    form the next frontier. Expansion stops early once the expanded
+    set exceeds 3x the connection cap, and the final set is trimmed to
+    the top 2x by score (retriever.py:330-344).
+
+    Documented divergence: the reference caps the entities *processed*
+    per depth in frontier insertion order (a latency guard in its
+    online loop); this set-oriented version caps the frontier
+    deterministically by (score desc, name asc). Returns (name, score).
+    """
+    spark = triples.sparkSession
+    edges = undirected_edges(triples)
+    # the reference holds seeds in a dict/set — duplicates collapse
+    scores = spark.createDataFrame(
+        [(s, 1.0) for s in dict.fromkeys(seeds)], "name string, score double"
+    )
+    frontier = scores
+    for d in range(max_depth):
+        f = (
+            frontier.orderBy(F.desc("score"), "name")
+            .limit(max_entity_connections)
+            .select(F.col("name").alias("src"))
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("strength"), "dst")
+        rels = (
+            edges.join(F.broadcast(f), "src")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter((F.col("_rk") <= max_entity_connections) & (F.col("strength") >= threshold))
+        )
+        decay = 0.7 ** (d + 1)
+        cand = (
+            rels.groupBy(F.col("dst").alias("name"))
+            .agg(F.max("strength").alias("s"))
+            .select("name", (F.col("s") * F.lit(decay)).alias("cand_score"))
+        )
+        new = cand.join(scores, "name", "left_anti").select(
+            "name", F.col("cand_score").alias("score")
+        )
+        scores = (
+            scores.join(cand, "name", "left")
+            .select(
+                "name",
+                F.greatest("score", F.coalesce("cand_score", F.lit(0.0))).alias("score"),
+            )
+            .unionByName(new)
+            .localCheckpoint(eager=True)
+        )
+        frontier = new
+        if scores.count() > 3 * max_entity_connections:
+            break
+    return (
+        scores.select("name", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), "name")
+        .limit(2 * max_entity_connections)
+    )
+
+
+def hybrid_merge(
+    chunk_results: DataFrame,
+    entity_results: DataFrame,
+    entity_fallback: float = 0.3,
+) -> DataFrame:
+    """J6 — hybrid retrieval merge (rag/retriever.py:725-762): full
+    outer merge keyed by chunk_id; chunks found by both paths get
+    ``min(1, (chunk_score + entity_score) * 0.8)`` and source
+    'hybrid'; single-path chunks keep their own score (entity side
+    falls back to ``entity_fallback`` when its score is null).
+
+    Inputs: (chunk_id, similarity) frames from the vector path and the
+    entity-expansion path. Returns (chunk_id, source, hybrid_score).
+    """
+    c = chunk_results.select("chunk_id", F.col("similarity").alias("chunk_score"))
+    e = entity_results.select("chunk_id", F.col("similarity").alias("entity_score"))
+    merged = c.join(e, "chunk_id", "full_outer")
+    both = F.col("chunk_score").isNotNull() & F.col("entity_score").isNotNull()
+    score = (
+        F.when(
+            both,
+            F.least(
+                F.lit(1.0),
+                (F.coalesce("chunk_score", F.lit(0.0)) + F.coalesce("entity_score", F.lit(0.0)))
+                * 0.8,
+            ),
+        )
+        .when(F.col("chunk_score").isNotNull(), F.col("chunk_score"))
+        .otherwise(F.coalesce("entity_score", F.lit(entity_fallback)))
+    )
+    source = (
+        F.when(both, "hybrid")
+        .when(F.col("chunk_score").isNotNull(), "chunk_based")
+        .otherwise("entity_based")
+    )
+    return merged.select(
+        "chunk_id",
+        source.alias("source"),
+        F.round(score, 6).alias("hybrid_score"),
+    ).orderBy(F.desc("hybrid_score"), "chunk_id")
+
+
 def fulltext_search(chunks: DataFrame, query: str, top_k: int = 10) -> DataFrame:
     """T7 (core/graph_db.py:1084-1110): term-frequency ranked chunk
     search. Each query term is counted with regexp_count (word

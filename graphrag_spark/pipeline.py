@@ -75,6 +75,8 @@ def run_in_memory(spark: SparkSession, docs: DataFrame, chunk_size: int = chunki
         "extracted": mentions_raw.unionByName(rels_raw),
         "entities": entities,
         "cmap": cmap,
+        "mentions_norm": mentions_norm,
+        "rels_norm": rels_norm,
         "nodes": materialize.build_nodes(cmap),
         "mentions": materialize.build_mentions(mentions_norm, cmap),
         "triples": materialize.build_triples(rels_norm, cmap),

@@ -72,3 +72,59 @@ def test_simhash_near_pairs(spark, docs_df):
     assert (1, 5) not in got or got[(1, 5)] > 0  # case change shifts words
     near = got.get((1, 3))
     assert near is not None and near <= 10
+
+
+def test_embedding_lsh_recall(spark):
+    """SRP-LSH near-dup recall on planted near-duplicate pairs: with the
+    default 8x8 banding, a pair at cosine ~0.98 collides in >=1 band
+    with probability ~0.9998, so planted recall must be near-total.
+    (This op is probabilistic by design — it is the one dedup path the
+    driver checks rows-only, so the recall property is pinned here.)"""
+    import numpy as np
+
+    from graphrag_spark.dedup import embedding_near_dups
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(40, 64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        w = v + 0.02 * rng.randn(64)
+        w /= np.linalg.norm(w)
+        rows.append((1000 + i, w.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in embedding_near_dups(df, threshold=0.95).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, recall
+    # every emitted pair is exact-verified >= threshold: no false accepts
+    for s, d in got:
+        va = dict(rows)[s]
+        vb = dict(rows)[d]
+        assert float(np.dot(va, vb)) >= 0.95 - 1e-9
+
+
+def test_minhash_single_row_bands_full_recall(spark, docs_df):
+    """bands == num_perm (single-row bands) must emit EXACTLY the
+    brute-force pair set at the threshold (pigeonhole guarantee used by
+    the driver oracle)."""
+    from graphrag_spark.dedup import minhash_pairs_from_signatures, minhash_signatures
+
+    sigs = minhash_signatures(docs_df)
+    rows = {r["id"]: r["signature"] for r in sigs.collect()}
+    brute = set()
+    for a in rows:
+        for b in rows:
+            if a < b:
+                est = sum(x == y for x, y in zip(rows[a], rows[b])) / 64.0
+                if est >= 0.5:
+                    brute.add((a, b))
+    got = {
+        (r["src"], r["dst"])
+        for r in minhash_pairs_from_signatures(sigs, bands=64, threshold=0.5).collect()
+    }
+    assert got == brute

@@ -121,3 +121,70 @@ def test_top_entities_and_order(kg):
     doc = kg["chunks"].select("doc_id").first()["doc_id"]
     ordered = graph_query.chunks_in_order(kg["chunks"], doc).collect()
     assert [r["chunk_index"] for r in ordered] == list(range(len(ordered)))
+
+
+def _py_decay_expansion(edges, seeds, max_depth=2, max_conn=20, threshold=0.1):
+    """Pure-Python trace of the deterministic G6 loop (reference
+    rag/retriever.py:256-344 with the documented frontier-order
+    divergence: frontier capped by (score desc, name asc))."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for s, d, st in edges:
+        adj[s].append((d, st))
+        adj[d].append((s, st))
+    scores = {s: 1.0 for s in seeds}
+    frontier = dict(scores)
+    for depth in range(max_depth):
+        f = sorted(frontier.items(), key=lambda kv: (-kv[1], kv[0]))[:max_conn]
+        decay = 0.7 ** (depth + 1)
+        cand = {}
+        for name, _sc in f:
+            rels = sorted(adj.get(name, []), key=lambda x: (-x[1], x[0]))[:max_conn]
+            for dst, st in rels:
+                if st >= threshold:
+                    cand[dst] = max(cand.get(dst, 0.0), st * decay)
+        new = {n: c for n, c in cand.items() if n not in scores}
+        for n, c in cand.items():
+            scores[n] = max(scores.get(n, 0.0), c)
+        frontier = new
+        if len(scores) > 3 * max_conn:
+            break
+    top = sorted(scores.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[: 2 * max_conn]
+    return [(n, round(s, 6)) for n, s in top]
+
+
+def test_strength_decay_expansion_matches_trace(kg):
+    triples = kg["triples"]
+    seeds = [r["subj"] for r in triples.orderBy(F.desc("strength"), "subj").limit(2).collect()]
+    got = [
+        (r["name"], r["score"])
+        for r in graph_query.expand_with_strength_decay(triples, seeds, max_depth=2).collect()
+    ]
+    edges = [
+        (r["subj"], r["obj"], r["strength"])
+        for r in triples.select("subj", "obj", "strength").collect()
+    ]
+    want = _py_decay_expansion(edges, seeds, max_depth=2)
+    assert got == want
+    # seeds always survive the final trim with full score
+    assert all((s, 1.0) in got for s in seeds)
+
+
+def test_hybrid_merge_golden(spark):
+    c = spark.createDataFrame(
+        [("k1", 0.9), ("k2", 0.5), ("k3", 0.8)], "chunk_id string, similarity double"
+    )
+    e = spark.createDataFrame(
+        [("k2", 0.7), ("k4", 0.4)], "chunk_id string, similarity double"
+    )
+    rows = {r["chunk_id"]: r for r in graph_query.hybrid_merge(c, e).collect()}
+    assert rows["k1"]["source"] == "chunk_based" and rows["k1"]["hybrid_score"] == 0.9
+    # both paths: min(1, (0.5 + 0.7) * 0.8) = 0.96
+    assert rows["k2"]["source"] == "hybrid" and abs(rows["k2"]["hybrid_score"] - 0.96) < 1e-9
+    assert rows["k3"]["source"] == "chunk_based"
+    assert rows["k4"]["source"] == "entity_based" and rows["k4"]["hybrid_score"] == 0.4
+    # cap at 1.0
+    c2 = spark.createDataFrame([("x", 0.9)], "chunk_id string, similarity double")
+    e2 = spark.createDataFrame([("x", 0.9)], "chunk_id string, similarity double")
+    assert graph_query.hybrid_merge(c2, e2).collect()[0]["hybrid_score"] == 1.0
