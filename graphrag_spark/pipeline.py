@@ -258,13 +258,19 @@ class KGPipeline:
             "nodes", h_cmap, lambda: materialize.build_nodes(cmap), doc_col=None, resume=resume,
             partition_by=["entity_type"],
         )
+        # broadcast the canonical map only while it provably fits —
+        # with an open-vocabulary extractor the map grows with distinct
+        # entities and a forced broadcast would OOM at corpus scale
+        bc_map = cmap.count() <= materialize.BROADCAST_MAP_MAX_ROWS
         mentions, _ = self._run_stage(
-            "mentions", h_cmap, lambda: materialize.build_mentions(mentions_norm, cmap), resume=resume,
-            bucket_col="entity_id",
+            "mentions", h_cmap,
+            lambda: materialize.build_mentions(mentions_norm, cmap, broadcast_map=bc_map),
+            resume=resume, bucket_col="entity_id",
         )
         triples, _ = self._run_stage(
-            "triples", h_cmap, lambda: materialize.build_triples(rels_norm, cmap), doc_col=None, resume=resume,
-            bucket_col="subj",
+            "triples", h_cmap,
+            lambda: materialize.build_triples(rels_norm, cmap, broadcast_map=bc_map),
+            doc_col=None, resume=resume, bucket_col="subj",
         )
 
         return {

@@ -171,10 +171,15 @@ def incremental_kg_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent sink: foreachBatch offers at-least-once delivery —
+        # a micro-batch retried after a crash re-runs with the SAME
+        # batch_id, so each batch writes its own batch_id=N partition
+        # dir with overwrite semantics. A retry replaces its own output
+        # instead of appending duplicates (exactly-once end to end).
         chunks = chunking.with_quality(chunking.chunk_documents(document_text(batch_df)))
         extracted = extraction.extract_chunks(chunks)
-        chunks.write.mode("append").parquet(f"{out_dir}/chunks")
-        extracted.write.mode("append").parquet(f"{out_dir}/extracted")
+        for name, df in (("chunks", chunks), ("extracted", extracted)):
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(process_batch)

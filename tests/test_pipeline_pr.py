@@ -132,3 +132,41 @@ def test_hub_entities_exist(pipeline_out):
     )
     med = out["nodes"].approxQuantile("n_mentions", [0.5], 0.01)[0]
     assert top >= 20 * max(med, 1), f"no hub skew: top={top} median={med}"
+
+
+def test_non_broadcast_map_path_identical(spark, corpus_path):
+    """With the broadcast hint off and auto-broadcast disabled, the
+    mention/triple joins must take the shuffle path and produce
+    identical output — proves the conditional-broadcast fallback
+    (the 100 TB open-vocabulary posture) is correct."""
+    import contextlib
+    import io
+
+    from graphrag_spark import materialize
+    from graphrag_spark.pipeline import run_in_memory
+
+    docs = spark.read.parquet(corpus_path)
+    out = run_in_memory(spark, docs)
+    with_bc = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in out["triples"].select("subj", "pred", "obj").collect()
+    }
+    def plan_broadcasts(df) -> int:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue().count("BroadcastHashJoin")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = materialize.build_triples(out["rels_norm"], out["cmap"], broadcast_map=True)
+        t = materialize.build_triples(out["rels_norm"], out["cmap"], broadcast_map=False)
+        # exactly the two cmap-side joins stop broadcasting; the
+        # explicitly-bounded surface/alias map broadcasts upstream of
+        # rels_norm/cmap legitimately remain
+        assert plan_broadcasts(t) == plan_broadcasts(hinted) - 2
+        without_bc = {(r["subj"], r["pred"], r["obj"]) for r in t.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert with_bc == without_bc

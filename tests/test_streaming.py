@@ -87,3 +87,24 @@ def test_incremental_kg_ingest_matches_batch(spark, corpus_path, tmp_path):
     a = {tuple(r) for r in got_chunks.select("chunk_id", "content", "offset").collect()}
     b = {tuple(r) for r in batch_chunks.select("chunk_id", "content", "offset").collect()}
     assert a == b
+
+
+def test_incremental_ingest_retry_idempotent(spark, corpus_path, tmp_path):
+    """A retried micro-batch (same batch_id) must replace its own
+    output, not append duplicates — foreachBatch is at-least-once, so
+    the per-batch_id overwrite dir is what makes the sink exactly-once."""
+    out_dir = str(tmp_path / "retry_out")
+    ckpt = str(tmp_path / "retry_ckpt")
+    q = incremental_kg_ingest(spark, corpus_path, out_dir, ckpt)
+    q.awaitTermination(180)
+    before = spark.read.parquet(f"{out_dir}/chunks").count()
+    # simulate a retry of batch 0: re-run the same batch function body
+    # with the same batch_id over the same input
+    from graphrag_spark.chunking import chunk_documents, with_quality
+    from graphrag_spark.corpus import document_text
+
+    batch_df = spark.read.parquet(corpus_path)
+    chunks = with_quality(chunk_documents(document_text(batch_df)))
+    chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks/batch_id=0")
+    after = spark.read.parquet(f"{out_dir}/chunks").count()
+    assert after == before
