@@ -171,15 +171,38 @@ def build_triples(normalized_rels: DataFrame, cmap: DataFrame, broadcast_map: bo
     )
 
 
-def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None, buckets: int | None = None, bucket_col: str | None = None) -> None:
-    """Partitioned parquet writer (Iceberg-ready seam). If bucket_col is
-    given, adds a hash-bucket partition column for balanced files and
-    co-located downstream joins."""
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    buckets: int | None = None,
+    bucket_col: str | None = None,
+    iceberg_table: str | None = None,
+) -> None:
+    """Partitioned table writer. If bucket_col is given, adds a
+    hash-bucket partition column for balanced files and co-located
+    downstream joins.
+
+    Iceberg seam: pass ``iceberg_table`` (e.g. ``local.kg.triples``) on
+    a cluster with an Iceberg catalog configured
+    (``spark.sql.catalog.<name>`` + iceberg-spark-runtime jar) to write
+    a snapshot-committing Iceberg table via DataFrameWriterV2 instead
+    of raw parquet; stage resume can then pin to snapshot ids rather
+    than the _SUCCESS+lineage protocol. NOT exercisable in this sandbox
+    (no Iceberg runtime jar is installed and there is no network to
+    fetch one) — the parquet path below is the tested default.
+    """
     out = df
     parts = list(partition_by or [])
     if bucket_col is not None and buckets:
         out = out.withColumn("bucket", F.pmod(F.xxhash64(bucket_col), F.lit(buckets)).cast("int"))
         parts.append("bucket")
+    if iceberg_table is not None:
+        w2 = out.writeTo(iceberg_table)
+        if parts:
+            w2 = w2.partitionedBy(*[F.col(p) for p in parts])
+        w2.createOrReplace()
+        return
     w = out.write.mode("overwrite")
     if parts:
         w = w.partitionBy(*parts)

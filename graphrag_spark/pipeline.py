@@ -92,6 +92,12 @@ class KGPipeline:
     chunk_overlap: int = chunking.CHUNK_OVERLAP
     salt_buckets: int = linking.SALT_BUCKETS
     buckets: int = 32
+    # Iceberg seam: set to e.g. "local.kg" on a cluster with an Iceberg
+    # catalog configured to write snapshot-committing tables
+    # ("<prefix>.<stage>") instead of raw parquet dirs. Not exercisable
+    # in this sandbox (no Iceberg runtime jar, no network) — parquet is
+    # the tested default; see materialize.write_table.
+    iceberg_prefix: str | None = None
     stage_times: dict[str, float] = field(default_factory=dict)
 
     # ------------------------------------------------------------------ util
@@ -146,9 +152,9 @@ class KGPipeline:
             return {}
         return {r["stage"]: r["stage_hash"] for r in rows}
 
-    def _commit(self, stage: str, stage_hash: str, df: DataFrame, doc_col: str | None) -> None:
+    def _commit(self, stage: str, stage_hash: str, df: DataFrame, doc_col: str | None, table: str | None = None) -> None:
         """Append per-partition lineage rows for a just-written stage."""
-        out = self.spark.read.parquet(self._path(stage))
+        out = self._read_stage(self._path(stage), table)
         if doc_col is not None and doc_col in out.columns:
             stats = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
                 F.min(doc_col).alias("doc_id_min"),
@@ -186,26 +192,30 @@ class KGPipeline:
     ) -> tuple[DataFrame, str]:
         h = self.stage_hash(stage, upstream_hash)
         path = self._path(stage)
-        if resume and self._committed().get(stage) == h and self._fs_exists(os.path.join(path, "_SUCCESS")):
-            return self.spark.read.parquet(path), h
+        table = f"{self.iceberg_prefix}.{stage}" if self.iceberg_prefix else None
+        if resume and self._committed().get(stage) == h and self._stage_output_exists(path, table):
+            return self._read_stage(path, table), h
         t0 = time.time()
         df = build()
-        out = df
-        parts = list(partition_by or [])
-        if bucket_col is not None:
-            # hash-bucket partition column: balanced files, partition-
-            # pruned point lookups, co-located downstream joins
-            out = out.withColumn(
-                "bucket", F.pmod(F.xxhash64(bucket_col), F.lit(self.buckets)).cast("int")
-            )
-            parts.append("bucket")
-        w = out.write.mode("overwrite")
-        if parts:
-            w = w.partitionBy(*parts)
-        w.parquet(path)
-        self._commit(stage, h, df, doc_col)
+        # single writer seam (hash-bucket layout + optional Iceberg)
+        materialize.write_table(
+            df, path, partition_by=partition_by,
+            buckets=self.buckets if bucket_col else None,
+            bucket_col=bucket_col, iceberg_table=table,
+        )
+        self._commit(stage, h, df, doc_col, table)
         self.stage_times[stage] = time.time() - t0
-        return self.spark.read.parquet(path), h
+        return self._read_stage(path, table), h
+
+    def _read_stage(self, path: str, table: str | None) -> DataFrame:
+        if table is not None:
+            return self.spark.read.table(table)
+        return self.spark.read.parquet(path)
+
+    def _stage_output_exists(self, path: str, table: str | None) -> bool:
+        if table is not None:
+            return bool(self.spark.catalog.tableExists(table))
+        return self._fs_exists(os.path.join(path, "_SUCCESS"))
 
     # ---------------------------------------------------------------- stages
 
