@@ -264,6 +264,39 @@ def _q_fingerprints(spark, sf_dir):
     return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_doc_summary_fields(spark, sf_dir):
+    """X9-X11 summarizer post-processing over a deterministic
+    LLM-response stand-in built from each document (docs at doc_id%7==0
+    produce a response with no JSON object, exercising the fallback
+    path). Oracle rebuilds the same response string and reapplies the
+    operators with DuckDB JSON/string functions."""
+    from graphrag_spark import summarize
+
+    d = _t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.substring("text", 1, 240), r"[^A-Za-z0-9 .]", "")
+    dtype = F.element_at(
+        F.array(F.lit("report"), F.lit("invoice"), F.lit("Mystery Scroll")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    resp = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("no structured output; raw text follows: "), clean),
+    ).otherwise(
+        F.concat(
+            F.lit('Sure - analysis below.\n{"summary": "'), clean,
+            F.lit('", "document_type": "'), dtype,
+            F.lit('", "hashtags": ["spark", "#data", " graph "]}'),
+        )
+    )
+    parsed = summarize.extract_summary_json_col(resp, max_summary_length=100)
+    return d.select(
+        "doc_id",
+        summarize.truncate_at_sentence_col(parsed["summary"], 150, 80).alias("summary"),
+        summarize.valid_document_type_col(parsed["document_type"]).alias("document_type"),
+        F.array_join(summarize.clean_hashtags_col(parsed["hashtags"]), ",").alias("hashtags"),
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return gdedup.exact_dedup(d).orderBy("content_hash")
@@ -595,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "doc_summary_fields": _q_doc_summary_fields,
         "exact_dedup": _q_exact_dedup,
         "cosine_topk": _q_cosine_topk,
         "knn_edges": _q_knn_edges,
@@ -835,6 +869,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
+        """,
+        "doc_summary_fields": """
+            WITH built AS (
+                SELECT doc_id,
+                       regexp_replace(substr(text, 1, 240), '[^A-Za-z0-9 .]', '', 'g') AS clean,
+                       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'report'
+                            WHEN 1 THEN 'invoice' ELSE 'Mystery Scroll' END AS dtype
+                FROM documents
+            ),
+            resp AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'no structured output; raw text follows: ' || clean
+                            ELSE 'Sure - analysis below.' || chr(10)
+                                 || '{"summary": "' || clean
+                                 || '", "document_type": "' || dtype
+                                 || '", "hashtags": ["spark", "#data", " graph "]}'
+                       END AS r
+                FROM built
+            ),
+            parsed AS (
+                SELECT doc_id, r,
+                       regexp_extract(r, '(?s)\\{.*\\}', 0) AS j
+                FROM resp
+            ),
+            fields AS (
+                SELECT doc_id,
+                       CASE WHEN j = '' OR NOT json_valid(j)
+                            THEN substr(r, 1, 100)
+                            ELSE coalesce(json_extract_string(j, '$.summary'), '') END AS summary,
+                       CASE WHEN j = '' OR NOT json_valid(j) THEN 'other'
+                            ELSE coalesce(json_extract_string(j, '$.document_type'), 'other') END AS raw_type,
+                       CASE WHEN j = '' OR NOT json_valid(j) THEN []::VARCHAR[]
+                            ELSE coalesce(CAST(json_extract(j, '$.hashtags') AS VARCHAR[]), []::VARCHAR[]) END AS tags
+                FROM parsed
+            )
+            SELECT doc_id,
+                   CASE WHEN length(summary) > 150 THEN
+                        CASE WHEN (CASE WHEN strpos(reverse(substr(summary, 1, 150)), '.') > 0
+                                        THEN length(substr(summary, 1, 150))
+                                             - strpos(reverse(substr(summary, 1, 150)), '.')
+                                        ELSE -1 END) > 80
+                             THEN substr(summary, 1,
+                                  (length(substr(summary, 1, 150))
+                                   - strpos(reverse(substr(summary, 1, 150)), '.')) + 1)
+                             ELSE substr(summary, 1, 150) END
+                   ELSE summary END AS summary,
+                   CASE WHEN lower(trim(raw_type)) IN (SELECT unnest([
+                        'report', 'invoice', 'other'])) THEN lower(trim(raw_type))
+                        ELSE 'other' END AS document_type,
+                   -- DuckDB's array_to_string([]) is NULL; Spark's
+                   -- array_join([]) is '' — coalesce to match
+                   coalesce(array_to_string(list_transform(tags,
+                        t -> CASE WHEN starts_with(trim(t), '#') THEN trim(t)
+                                  ELSE '#' || trim(t) END), ','), '') AS hashtags
+            FROM fields
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
