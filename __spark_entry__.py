@@ -12,10 +12,11 @@ operator from those files (e.g. the full triple materialization from
 rels_norm + cmap, brute-force pair search vs the banded MinHash/SimHash
 candidates — a 100%-recall check, not a row count).
 
-Rows-only (no oracle, weaker check) remain only: ``kg_beam_paths``
-(iterative beam pruning is not expressible in one SQL statement) and
-``lsh_embedding_dups`` (sign-random-projection LSH is probabilistic by
-design — its recall is property-tested in tests/test_dedup.py instead).
+Rows-only (no oracle, weaker check) remains only
+``lsh_embedding_dups``: sign-random-projection LSH is probabilistic by
+design — its recall is property-tested in tests/test_dedup.py instead.
+Even the iterative operators (beam search, decay expansion) are
+oracle-checked via bounded-hop SQL unrolling.
 """
 
 from __future__ import annotations
@@ -466,14 +467,16 @@ def _kg_seeds(triples: DataFrame) -> list[str]:
 
 
 def _q_kg_beam_paths(spark, sf_dir):
+    """G5 beam search (2 hops, beam 8). The oracle unrolls both hops in
+    SQL with the same per-hop global top-k and visited rules. Path is
+    flattened to a '>'-joined scalar string — the harness canonicalizer
+    sorts/hashes column values and can't factorize lists."""
     from graphrag_spark import graph_query
 
     kg = _kg(spark, sf_dir)
     out = graph_query.beam_search_paths(
         kg["triples"], kg["nodes"], _kg_seeds(kg["triples"]), max_hops=2, beam_size=8
     )
-    # driver contract: flatten path to a scalar string — the harness
-    # canonicalizer sorts/hashes column values and can't factorize lists
     return out.select(F.concat_ws(">", "path").alias("path"), "path_score")
 
 
@@ -1083,6 +1086,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM {_p("kg_nodes")} a
                 JOIN {_p("kg_nodes")} b ON a.entity_id <> b.entity_id
             ) WHERE rk <= 3 AND similarity >= 0.5
+        """,
+        "kg_beam_paths": f"""
+            WITH edges AS (
+                SELECT subj AS src, obj AS dst, strength FROM {_p("kg_triples")}
+                UNION ALL
+                SELECT obj AS src, subj AS dst, strength FROM {_p("kg_triples")}
+            ),
+            imp AS (SELECT name, importance FROM {_p("kg_nodes")}),
+            seeds AS (
+                SELECT subj AS name FROM (
+                    SELECT subj, max(strength) AS ms FROM {_p("kg_triples")}
+                    GROUP BY subj ORDER BY ms DESC, subj LIMIT 2
+                )
+            ),
+            p0 AS (
+                SELECT name AS seed, name AS tail, name AS path,
+                       CAST(1.0 AS DOUBLE) AS path_score
+                FROM seeds
+            ),
+            p1 AS (
+                SELECT * FROM (
+                    SELECT p.seed, e.dst AS tail,
+                           p.path || '>' || e.dst AS path,
+                           0.5 * p.path_score + 0.3 * e.strength
+                             + 0.2 * coalesce(i.importance, 0.0) AS path_score
+                    FROM p0 p JOIN edges e ON e.src = p.tail
+                    LEFT JOIN imp i ON i.name = e.dst
+                    WHERE e.dst <> p.seed
+                ) ORDER BY path_score DESC, tail, path LIMIT 8
+            ),
+            p2 AS (
+                SELECT * FROM (
+                    SELECT p.seed, e.dst AS tail,
+                           p.path || '>' || e.dst AS path,
+                           0.5 * p.path_score + 0.3 * e.strength
+                             + 0.2 * coalesce(i.importance, 0.0) AS path_score
+                    FROM p1 p JOIN edges e ON e.src = p.tail
+                    LEFT JOIN imp i ON i.name = e.dst
+                    WHERE e.dst <> p.seed AND e.dst <> p.tail
+                ) ORDER BY path_score DESC, tail, path LIMIT 8
+            )
+            SELECT path, round(path_score, 6) AS path_score FROM (
+                SELECT path, path_score FROM p0
+                UNION ALL SELECT path, path_score FROM p1
+                UNION ALL SELECT path, path_score FROM p2
+            )
         """,
         "kg_vector_search": f"""
             WITH {_VECTOR_SEARCH_CTES}
