@@ -22,13 +22,25 @@ TABLES = [
 
 
 def canon(v):
-    if isinstance(v, float):
+    """Type-aware canonical form. The driver hashes TYPED values, so a
+    DuckDB HUGEINT sum surfacing as float where Spark emits int64 must
+    mismatch here too (round-1 token_counts failure mode) — hence the
+    i/f/b prefixes."""
+    import numpy as np
+
+    if v is None:
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b{bool(v)}"
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, (list, tuple)):
+            return "fnan"
+        return "f%.9g" % float(v)
+    if isinstance(v, (int, np.integer)):
+        return f"i{int(v)}"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+    return f"s{v}"
 
 
 def rows_canon(cols, rows):
@@ -66,7 +78,11 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
-            drows = rel.fetchall()
+            # .df() (not fetchall) so DuckDB's wide types surface the
+            # way the driver's pandas-based hasher sees them — e.g.
+            # HUGEINT -> float64/object instead of a clean Python int
+            dpdf = rel.df()
+            drows = [tuple(r) for r in dpdf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {e}")
