@@ -272,6 +272,97 @@ def simhash_pairs_from_signatures(sigs: DataFrame, max_hamming: int = 3) -> Data
     return cands.select("src", "dst", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 
+_SIMHASH_KEY_HI = "graphrag-simhash"  # 16-byte siphash key for the hi word
+
+
+def simhash128_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """128-bit SimHash as two 64-bit words (independent siphash keys).
+
+    The corpus-scale variant: at a fixed band count b (pigeonhole:
+    b = max_hamming + 1), band width grows from 64/b to 128/b bits, so
+    the random band-collision rate drops by ~2^(64/b) — e.g. at
+    max_hamming=8 (9 bands), ~7-bit bands become ~14-bit bands, cutting
+    false candidates ~100x. The trade: hamming radius semantics are
+    over 128 bits (a tighter similarity threshold per bit)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", docs.schema[id_col].dataType),
+            T.StructField("sim_lo", T.LongType()),
+            T.StructField("sim_hi", T.LongType()),
+        ]
+    )
+
+    def word_sig(hashes: np.ndarray) -> int:
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sig = int(((v >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").split()
+                arr = np.asarray(words if words else [""], dtype=object)
+                lo = pd.util.hash_array(arr, categorize=False)
+                hi = pd.util.hash_array(arr, hash_key=_SIMHASH_KEY_HI, categorize=False)
+                rows.append((did, word_sig(lo), word_sig(hi)))
+            yield pd.DataFrame(rows, columns=["id", "sim_lo", "sim_hi"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def _slice_bits_128(lo: F.Column, hi: F.Column, start: int, end: int) -> F.Column:
+    """Bits [start, end) of the 128-bit value (hi:lo) as a non-negative
+    long — native bitwise column ops, handles word-straddling bands."""
+    width = end - start
+    if end <= 64:
+        return F.shiftrightunsigned(lo, start).bitwiseAND(F.lit((1 << width) - 1))
+    if start >= 64:
+        return F.shiftrightunsigned(hi, start - 64).bitwiseAND(F.lit((1 << width) - 1))
+    lo_part = F.shiftrightunsigned(lo, start)  # top (64-start) bits of lo
+    hi_part = hi.bitwiseAND(F.lit((1 << (end - 64)) - 1))
+    return lo_part.bitwiseOR(F.shiftleft(hi_part, 64 - start))
+
+
+def simhash128_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with 128-bit hamming <= max_hamming. Same banded
+    pigeonhole scheme as the 64-bit path (b = max_hamming + 1 bands
+    guarantee 100% recall), with ~2x wider bands — the 100 TB
+    configuration (see simhash128_signatures)."""
+    sigs = simhash128_signatures(docs, id_col, text_col)
+    bands = min(max(max_hamming + 1, 2), 32)
+    band_structs = []
+    for b in range(bands):
+        start = b * 128 // bands
+        end = (b + 1) * 128 // bands
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                _slice_bits_128(F.col("sim_lo"), F.col("sim_hi"), start, end).alias("bucket"),
+            )
+        )
+    banded = sigs.select(
+        "id", "sim_lo", "sim_hi", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "sim_lo", "sim_hi", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select("band", "bucket", F.col("id").alias("src"), F.col("sim_lo").alias("la"), F.col("sim_hi").alias("ha"))
+    right = banded.select("band", "bucket", F.col("id").alias("dst"), F.col("sim_lo").alias("lb"), F.col("sim_hi").alias("hb"))
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    hamming = F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) + F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    )
+    return cands.select("src", "dst", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
 # ---------------------------------------------------- embedding near-dup
 
 def embedding_near_dups(

