@@ -36,12 +36,15 @@ from .vocab import build_vocabulary
 REL_WINDOW = 300
 REL_DESCRIPTION = "co-occurs with"
 
-# parse regexes — same shape as reference entity_extraction.py:389-434
+# parse regexes — the reference's exact field order and patterns
+# (entity_extraction.py:389 and :416):
+#   - Name: .. | Type: .. | Description: .. | Importance: <float>
+#   - Source: .. | Target: .. | Description: .. | Strength: <float>
 ENTITY_LINE_RE = re.compile(
-    r"^- Name: ([^|]+?) \| Type: ([^|]+?) \| Importance: ([\d.]+) \| Description: (.*)$"
+    r"- Name: ([^|]+) \| Type: ([^|]+) \| Description: ([^|]+) \| Importance: ([\d.]+)"
 )
 REL_LINE_RE = re.compile(
-    r"^- Source: ([^|]+?) \| Target: ([^|]+?) \| Strength: ([\d.]+) \| Description: (.*)$"
+    r"- Source: ([^|]+) \| Target: ([^|]+) \| Description: ([^|]+) \| Strength: ([\d.]+)"
 )
 
 
@@ -178,8 +181,9 @@ def det_extract_response(chunk_text: str) -> str:
         seen.add(surface)
         etype, prior = surface_info[surface]
         lines.append(
-            f"- Name: {surface} | Type: {etype} | Importance: {prior:.2f} "
-            f"| Description: {surface} appears in context as {etype.lower()}"
+            f"- Name: {surface} | Type: {etype} "
+            f"| Description: {surface} appears in context as {etype.lower()} "
+            f"| Importance: {prior:.2f}"
         )
 
     pair_counts: dict[tuple[str, str], int] = {}
@@ -196,8 +200,8 @@ def det_extract_response(chunk_text: str) -> str:
     for (a, b), cnt in pair_counts.items():
         strength = round(min(0.4 + 0.1 * min(cnt, 5), 0.9), 2)
         lines.append(
-            f"- Source: {a} | Target: {b} | Strength: {strength:.2f} "
-            f"| Description: {REL_DESCRIPTION}"
+            f"- Source: {a} | Target: {b} | Description: {REL_DESCRIPTION} "
+            f"| Strength: {strength:.2f}"
         )
     return "\n".join(lines) + "\n"
 
@@ -211,7 +215,7 @@ def parse_extraction_response(response: str) -> tuple[list[dict], list[dict]]:
         line = line.strip()
         m = ENTITY_LINE_RE.match(line)
         if m:
-            name, etype, imp, desc = m.groups()
+            name, etype, desc, imp = m.groups()
             entities.append(
                 {
                     "name": name.strip(),
@@ -223,7 +227,7 @@ def parse_extraction_response(response: str) -> tuple[list[dict], list[dict]]:
             continue
         m = REL_LINE_RE.match(line)
         if m:
-            src, dst, strength, desc = m.groups()
+            src, dst, desc, strength = m.groups()
             rels.append(
                 {
                     "source": src.strip(),

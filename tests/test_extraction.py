@@ -12,11 +12,12 @@ from graphrag_spark.extraction import (
 
 
 def test_parse_clamps_scores():
+    # reference field order (entity_extraction.py:389, :416)
     resp = (
         "ENTITIES:\n"
-        "- Name: Foo Bar | Type: ORG | Importance: 7.5 | Description: d\n"
+        "- Name: Foo Bar | Type: ORG | Description: d | Importance: 7.5\n"
         "RELATIONSHIPS:\n"
-        "- Source: Foo Bar | Target: Baz Qux | Strength: 99 | Description: r\n"
+        "- Source: Foo Bar | Target: Baz Qux | Description: r | Strength: 99\n"
     )
     ents, rels = parse_extraction_response(resp)
     assert ents[0]["importance"] == 1.0
