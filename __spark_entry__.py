@@ -575,17 +575,18 @@ def _q_chunk_stats(spark, sf_dir):
 
 
 def _q_minhash_near_dups(spark, sf_dir):
-    """MinHash near-dup pairs with pigeonhole-guaranteed recall: at
-    threshold t over num_perm components, a pair with est >= t disagrees
-    on <= (1-t)*num_perm components, so with bands > (1-t)*num_perm
-    single-row bands at least one band must collide. The oracle
-    brute-forces every pair from the exported signatures — a full-recall
-    check of the banded candidate generation, not just a row count."""
+    """MinHash near-dup pairs with pigeonhole-guaranteed recall: a pair
+    with est >= 0.8 over 64 components disagrees on <= 12, which can
+    break at most 12 of the 16 4-row bands — at least 4 stay intact, so
+    every qualifying pair is a candidate (deterministically, not just
+    with S-curve probability). The oracle brute-forces every pair from
+    the exported signatures — a full-recall check of the banded
+    candidate generation, not just a row count."""
     d = _t(spark, sf_dir, "documents")
     sigs = _export(
         gdedup.minhash_signatures(d), sf_dir, "minhash_sigs"
     )
-    return gdedup.minhash_pairs_from_signatures(sigs, bands=64, threshold=0.5).orderBy("src", "dst")
+    return gdedup.minhash_pairs_from_signatures(sigs, bands=16, threshold=0.8).orderBy("src", "dst")
 
 
 def _q_simhash_near_dups(spark, sf_dir):
@@ -1189,10 +1190,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, est_jaccard FROM (
                 SELECT a.id AS src, b.id AS dst,
                        round(len(list_filter(list_zip(a.signature, b.signature),
-                                             x -> x[1] = x[2])) / 64.0, 6) AS est_jaccard
+                                             x -> x[1] = x[2]))
+                             / CAST(len(a.signature) AS DOUBLE), 6) AS est_jaccard
                 FROM {_p("minhash_sigs")} a
                 JOIN {_p("minhash_sigs")} b ON a.id < b.id
-            ) WHERE est_jaccard >= 0.5 ORDER BY src, dst
+            ) WHERE est_jaccard >= 0.8 ORDER BY src, dst
         """,
         "simhash_near_dups": f"""
             SELECT a.id AS src, b.id AS dst,

@@ -156,9 +156,12 @@ def minhash_pairs_from_signatures(
     num_perm = int(first["n"])
     rows_per_band = num_perm // bands
 
+    # band/bucket rows carry ONLY the id: shipping the full signature
+    # array through bands-per-row explode + self-join multiplies the
+    # shuffle by ~bands x sig_len; signatures are re-joined once per
+    # side onto the deduplicated candidate pairs instead
     banded = sigs.select(
         "id",
-        "signature",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -170,15 +173,22 @@ def minhash_pairs_from_signatures(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.select("band", "bucket", F.col("id").alias("src"), F.col("signature").alias("sig_a"))
-    right = banded.select("band", "bucket", F.col("id").alias("dst"), F.col("signature").alias("sig_b"))
-    cands = (
+    left = banded.select("band", "bucket", F.col("id").alias("src"))
+    right = banded.select("band", "bucket", F.col("id").alias("dst"))
+    cand_ids = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", "sig_a", "sig_b")
-        .dropDuplicates(["src", "dst"])
+        .select("src", "dst")
+        .distinct()
+    )
+    cands = (
+        cand_ids.join(
+            sigs.select(F.col("id").alias("src"), F.col("signature").alias("sig_a")), "src"
+        ).join(
+            sigs.select(F.col("id").alias("dst"), F.col("signature").alias("sig_b")), "dst"
+        )
     )
     est = cands.select(
         "src",
