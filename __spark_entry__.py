@@ -480,6 +480,24 @@ def _q_kg_beam_paths(spark, sf_dir):
     return out.select(F.concat_ws(">", "path").alias("path"), "path_score")
 
 
+def _q_kg_expand(spark, sf_dir):
+    """G3 BFS expansion with per-depth distance decay; oracle = 2-hop
+    unrolled SQL with the same shallowest-depth-wins rule."""
+    from graphrag_spark import graph_query
+
+    kg = _kg(spark, sf_dir)
+    return graph_query.expand_entities(kg["triples"], _kg_seeds(kg["triples"]), depth=2)
+
+
+def _q_kg_neighborhood(spark, sf_dir):
+    """G4 induced 1-hop neighborhood subgraph of the strongest entity;
+    oracle = semijoin SQL over the exported triples."""
+    from graphrag_spark import graph_query
+
+    kg = _kg(spark, sf_dir)
+    return graph_query.neighborhood(kg["triples"], _kg_seeds(kg["triples"])[0], hops=1)
+
+
 def _q_kg_decay_expansion(spark, sf_dir):
     """G6 strength-decay expansion; oracle = 2-hop unrolled SQL over
     the exported triples with the same deterministic tie-breaks."""
@@ -597,6 +615,24 @@ def _q_simhash_near_dups(spark, sf_dir):
     return gdedup.simhash_pairs_from_signatures(sigs, max_hamming=8).orderBy("src", "dst")
 
 
+def _q_simhash128_near_dups(spark, sf_dir):
+    """128-bit SimHash near-dups (the corpus-scale banding: ~14-bit
+    bands cut random band collisions ~100x vs the 64-bit path). Oracle
+    brute-forces two-word hamming from the exported signatures."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = _export(gdedup.simhash128_signatures(d), sf_dir, "simhash128_sigs")
+    return gdedup.simhash128_pairs_from_signatures(sigs, max_hamming=12).orderBy("src", "dst")
+
+
+def _q_document_profile(spark, sf_dir):
+    """One-pass per-document text profile (token counts, language ID,
+    quality, fingerprint) — the composed training-data scan."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.document_profile(d).select(
+        "doc_id", "tokens_ws", "tokens_bpe", "lang_detected", "quality", "fp"
+    )
+
+
 def _q_lsh_embedding_dups(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return gdedup.embedding_near_dups(e, threshold=0.35).orderBy("src", "dst")
@@ -651,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunk_sim_edges": _q_kg_chunk_sim_edges,
         "kg_entity_sim_edges": _q_kg_entity_sim_edges,
         "kg_beam_paths": _q_kg_beam_paths,
+        "kg_expand": _q_kg_expand,
+        "kg_neighborhood": _q_kg_neighborhood,
         "kg_decay_expansion": _q_kg_decay_expansion,
         "kg_vector_search": _q_kg_vector_search,
         "kg_hybrid_merge": _q_kg_hybrid_merge,
@@ -659,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_stats": _q_chunk_stats,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
+        "simhash128_near_dups": _q_simhash128_near_dups,
+        "document_profile": _q_document_profile,
         "lsh_embedding_dups": _q_lsh_embedding_dups,
         "media_features": _q_media_features,
     }
@@ -1134,6 +1174,49 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT path, path_score FROM p2
             )
         """,
+        "kg_expand": f"""
+            WITH edges AS (
+                SELECT subj AS src, obj AS dst FROM {_p("kg_triples")}
+                UNION ALL SELECT obj, subj FROM {_p("kg_triples")}
+            ),
+            seeds AS (
+                SELECT subj AS name FROM (
+                    SELECT subj, max(strength) AS ms FROM {_p("kg_triples")}
+                    GROUP BY subj ORDER BY ms DESC, subj LIMIT 2
+                )
+            ),
+            d1 AS (
+                SELECT DISTINCT e.dst AS name FROM edges e JOIN seeds s ON e.src = s.name
+                WHERE e.dst NOT IN (SELECT name FROM seeds)
+            ),
+            d2 AS (
+                SELECT DISTINCT e.dst AS name FROM edges e JOIN d1 ON e.src = d1.name
+                WHERE e.dst NOT IN (SELECT name FROM seeds)
+                  AND e.dst NOT IN (SELECT name FROM d1)
+            )
+            SELECT name, CAST(0 AS INT) AS depth, CAST(1.0 AS DOUBLE) AS score FROM seeds
+            UNION ALL SELECT name, CAST(1 AS INT), CAST(0.3 AS DOUBLE) FROM d1
+            UNION ALL SELECT name, CAST(2 AS INT), CAST(0.2 AS DOUBLE) FROM d2
+        """,
+        "kg_neighborhood": f"""
+            WITH edges AS (
+                SELECT subj AS src, obj AS dst, strength FROM {_p("kg_triples")}
+                UNION ALL SELECT obj, subj, strength FROM {_p("kg_triples")}
+            ),
+            seed1 AS (
+                SELECT subj AS name FROM (
+                    SELECT subj, max(strength) AS ms FROM {_p("kg_triples")}
+                    GROUP BY subj ORDER BY ms DESC, subj LIMIT 1
+                )
+            ),
+            nodes AS (
+                SELECT name FROM seed1
+                UNION SELECT DISTINCT e.dst FROM edges e JOIN seed1 s ON e.src = s.name
+            )
+            SELECT DISTINCT e.src, e.dst, e.strength FROM edges e
+            WHERE e.src IN (SELECT name FROM nodes)
+              AND e.dst IN (SELECT name FROM nodes)
+        """,
         "kg_vector_search": f"""
             WITH {_VECTOR_SEARCH_CTES}
             SELECT chunk_id, similarity FROM vec_top
@@ -1203,6 +1286,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN {_p("simhash_sigs")} b ON a.id < b.id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
             ORDER BY src, dst
+        """,
+        "simhash128_near_dups": f"""
+            SELECT a.id AS src, b.id AS dst,
+                   CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                        + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+            FROM {_p("simhash128_sigs")} a
+            JOIN {_p("simhash128_sigs")} b ON a.id < b.id
+            WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+                  + bit_count(xor(a.sim_hi, b.sim_hi)) <= 12
+            ORDER BY src, dst
+        """,
+        "document_profile": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS tokens_ws,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS tokens_bpe,
+                   CASE
+                       WHEN greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']}) = 0 THEN 'und'
+                       WHEN {hits['de']} = greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']}) THEN 'de'
+                       WHEN {hits['en']} = greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']}) THEN 'en'
+                       WHEN {hits['es']} = greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']}) THEN 'es'
+                       ELSE 'fr' END AS lang_detected,
+                   round(({_QUALITY_PENALIZED}), 6) AS quality,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
         """,
         "ivf_ann": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

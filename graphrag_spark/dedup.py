@@ -345,7 +345,14 @@ def simhash128_near_pairs(
     pigeonhole scheme as the 64-bit path (b = max_hamming + 1 bands
     guarantee 100% recall), with ~2x wider bands — the 100 TB
     configuration (see simhash128_signatures)."""
-    sigs = simhash128_signatures(docs, id_col, text_col)
+    return simhash128_pairs_from_signatures(
+        simhash128_signatures(docs, id_col, text_col), max_hamming=max_hamming
+    )
+
+
+def simhash128_pairs_from_signatures(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Banded 128-bit hamming search over a precomputed
+    (id, sim_lo, sim_hi) frame."""
     bands = min(max(max_hamming + 1, 2), 32)
     band_structs = []
     for b in range(bands):
