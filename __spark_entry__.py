@@ -554,6 +554,56 @@ def _q_kg_hybrid_merge(spark, sf_dir):
     return graph_query.hybrid_merge(vec, ent)
 
 
+def _q_kg_doc_entity_rollup(spark, sf_dir):
+    """A4 doc-entity rollup (mention counts + distinct chunk indexes);
+    chunk_indexes flattened to a csv string for the harness
+    canonicalizer. Oracle recomputes the join+rollup in SQL."""
+    from graphrag_spark import graph_ops
+
+    kg = _kg(spark, sf_dir)
+    out = graph_ops.doc_entity_rollup(kg["mentions"], kg["chunks"])
+    return out.select(
+        "doc_id", "entity_id", "n_mentions",
+        F.array_join(F.col("chunk_indexes").cast("array<string>"), ",").alias("chunk_indexes"),
+    )
+
+
+def _q_kg_chunks_in_order(spark, sf_dir):
+    """T8 ordered chunk retrieval for one document."""
+    from graphrag_spark import graph_query
+
+    kg = _kg(spark, sf_dir)
+    doc = kg["chunks"].agg(F.min("doc_id")).first()[0]
+    return graph_query.chunks_in_order(kg["chunks"], doc).select(
+        "chunk_id", "chunk_index", "chunk_size"
+    )
+
+
+def _q_kg_post_filter(spark, sf_dir):
+    """C6 post-entity chunk quality filter: surviving chunk ids after
+    the drop rule; oracle recomputes the rule from exported tables."""
+    from graphrag_spark import graph_ops
+
+    kg = _kg(spark, sf_dir)
+    kept = graph_ops.post_entity_chunk_filter(kg["chunks"], kg["mentions"], kg["rels_norm"])
+    return kept.select("chunk_id", "quality_score")
+
+
+def _q_kg_delete_cascade(spark, sf_dir):
+    """S14 delete cascade: drop the first document, return post-delete
+    table counts; oracle recomputes the cascade (anti-filters,
+    source_chunks stripping, orphan/endpoint pruning) in SQL."""
+    from graphrag_spark import graph_ops
+
+    kg = _kg(spark, sf_dir)
+    doc = kg["chunks"].agg(F.min("doc_id")).first()[0]
+    out = graph_ops.delete_documents([doc], kg["chunks"], kg["mentions"], kg["nodes"], kg["triples"])
+    spark_row = [(out["chunks"].count(), out["mentions"].count(), out["nodes"].count(), out["triples"].count())]
+    return spark.createDataFrame(
+        spark_row, "n_chunks long, n_mentions long, n_nodes long, n_triples long"
+    )
+
+
 def _q_kg_fulltext(spark, sf_dir):
     from graphrag_spark import graph_query
 
@@ -706,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_decay_expansion": _q_kg_decay_expansion,
         "kg_vector_search": _q_kg_vector_search,
         "kg_hybrid_merge": _q_kg_hybrid_merge,
+        "kg_doc_entity_rollup": _q_kg_doc_entity_rollup,
+        "kg_chunks_in_order": _q_kg_chunks_in_order,
+        "kg_post_filter": _q_kg_post_filter,
+        "kg_delete_cascade": _q_kg_delete_cascade,
         "kg_fulltext": _q_kg_fulltext,
         "ivf_ann": _q_ivf_ann,
         "chunk_stats": _q_chunk_stats,
@@ -1266,6 +1320,66 @@ def oracle_sql() -> dict[str, str]:
                         ELSE coalesce(entity_score, 0.3) END, 6) AS hybrid_score
             FROM merged
             ORDER BY hybrid_score DESC, chunk_id
+        """,
+        "kg_doc_entity_rollup": f"""
+            SELECT m.doc_id, m.entity_id, count(*) AS n_mentions,
+                   array_to_string(list_sort(list(DISTINCT c.chunk_index)), ',') AS chunk_indexes
+            FROM {_p("kg_mentions")} m
+            JOIN {_p("kg_chunks")} c USING (chunk_id)
+            GROUP BY 1, 2
+        """,
+        "kg_chunks_in_order": f"""
+            SELECT chunk_id, chunk_index, chunk_size FROM {_p("kg_chunks")}
+            WHERE doc_id = (SELECT min(doc_id) FROM {_p("kg_chunks")})
+            ORDER BY chunk_index
+        """,
+        "kg_post_filter": f"""
+            WITH ec AS (
+                SELECT chunk_id, count(*) AS n_ents FROM {_p("kg_mentions")} GROUP BY 1
+            ),
+            rc AS (
+                SELECT chunk_id, count(*) AS n_rels FROM {_p("kg_rels_norm")} GROUP BY 1
+            )
+            SELECT c.chunk_id, c.quality_score
+            FROM {_p("kg_chunks")} c
+            LEFT JOIN ec USING (chunk_id)
+            LEFT JOIN rc USING (chunk_id)
+            WHERE NOT (
+                (c.quality_score < 0.2 AND coalesce(ec.n_ents, 0) = 0
+                 AND coalesce(rc.n_rels, 0) = 0)
+                OR (length(c.content) < 30 AND coalesce(ec.n_ents, 0) = 0)
+            )
+        """,
+        "kg_delete_cascade": f"""
+            WITH d AS (SELECT min(doc_id) AS doc FROM {_p("kg_chunks")}),
+            chunks2 AS (
+                SELECT * FROM {_p("kg_chunks")}, d WHERE doc_id <> doc
+            ),
+            mentions2 AS (
+                SELECT * FROM {_p("kg_mentions")}, d WHERE doc_id <> doc
+            ),
+            nodes3 AS (
+                SELECT name FROM (
+                    SELECT n.name,
+                           list_filter(n.source_chunks,
+                               c -> regexp_replace(c, '_chunk_\\d+$', '') <> doc) AS sc
+                    FROM {_p("kg_nodes")} n, d
+                ) WHERE len(sc) > 0
+            ),
+            triples3 AS (
+                SELECT * FROM (
+                    SELECT t.subj, t.obj,
+                           list_filter(t.source_chunks,
+                               c -> regexp_replace(c, '_chunk_\\d+$', '') <> doc) AS sc
+                    FROM {_p("kg_triples")} t, d
+                ) WHERE len(sc) > 0
+                  AND upper(subj) IN (SELECT upper(name) FROM nodes3)
+                  AND upper(obj) IN (SELECT upper(name) FROM nodes3)
+            )
+            SELECT (SELECT count(*) FROM chunks2) AS n_chunks,
+                   (SELECT count(*) FROM mentions2) AS n_mentions,
+                   (SELECT count(*) FROM nodes3) AS n_nodes,
+                   (SELECT count(*) FROM triples3) AS n_triples
         """,
         "kg_fulltext": f"""
             SELECT chunk_id, doc_id, score FROM (
