@@ -357,6 +357,46 @@ def ivf_topk(
     return cosine_topk_query(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize an IVF index: vectors written partitioned by their
+    centroid cell (``cluster=<c>/`` dirs). A query probing ``n_probe``
+    cells then scans only those partitions — the parquet reader prunes
+    the rest from the file listing, so scan cost is
+    O(n * n_probe / n_centroids) instead of O(n). Returns the centroid
+    matrix (store alongside the index; it is O(n_centroids * dim))."""
+    C = train_ivf_centroids(embeddings, n_centroids=n_centroids, vec_col=vec_col)
+    assigns = ivf_assign(embeddings, C, id_col=id_col, vec_col=vec_col)
+    embeddings.join(assigns, id_col).write.mode("overwrite").partitionBy("cluster").parquet(path)
+    return C
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN query over a persisted IVF index: rank centroid cells on the
+    driver (tiny matrix), then scan ONLY the probed ``cluster=``
+    partitions (partition pruning — verify with .explain: the scan's
+    partition filters carry ``cluster IN (...)``)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    cells = spark.read.parquet(path).filter(F.col("cluster").isin([int(p) for p in probes]))
+    return cosine_topk_query(cells, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def topk_per_item(pairs: DataFrame, k: int = 5) -> DataFrame:
     """Window top-k per src (reference T2/T3: per-chunk/entity top
     similarity connections, graph_db.py:283-292, 410-419)."""

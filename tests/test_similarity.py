@@ -92,3 +92,39 @@ def test_topk_per_item_window(spark, emb_df):
     top2 = topk_per_item(pairs, k=2)
     counts = top2.groupBy("src").count().collect()
     assert all(r["count"] <= 2 for r in counts)
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, emb_df, vecs, tmp_path):
+    """The persisted IVF index must (a) answer queries identically to
+    scanning assignments in memory, and (b) actually partition-prune:
+    the probed-cells scan reads only n_probe of the cluster= dirs."""
+    import contextlib
+    import io
+    import os
+
+    import numpy as np
+
+    from graphrag_spark.similarity import (
+        cosine_topk_query,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    C = ivf_build_index(emb_df, path, n_centroids=8)
+    assert sum(1 for d in os.listdir(path) if d.startswith("cluster=")) > 1
+
+    q = vecs[0].tolist()
+    got = ivf_query_index(spark, path, q, C, k=5, n_probe=8)  # all cells = exact
+    brute = cosine_topk_query(emb_df, q, k=5)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in brute.collect()]
+
+    pruned = ivf_query_index(spark, path, q, C, k=5, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain()
+    plan = buf.getvalue()
+    # partition filters on the scan prove pruning reached the reader
+    assert "cluster" in plan and ("PartitionFilters" in plan or "partition" in plan.lower())
+    rows = pruned.collect()
+    assert 0 < len(rows) <= 5
