@@ -26,9 +26,17 @@ from pyspark.sql import DataFrame
 CC_SALT_BUCKETS = 16
 MAX_ITERATIONS = 25
 
+# Below this many edges the salted two-phase reduce is pure overhead
+# (an extra shuffle per iteration on a graph that fits in a handful of
+# partitions); above it, hub components would otherwise funnel all
+# their messages through single reducers.
+SALT_MIN_EDGES = 1_000_000
+
 
 def _two_phase_min(df: DataFrame, key: str, value: str, salt_buckets: int) -> DataFrame:
-    """groupBy(key).min(value) as salted two-phase reduce."""
+    """groupBy(key).min(value), salted (two-phase) when salt_buckets>1."""
+    if salt_buckets <= 1:
+        return df.groupBy(key).agg(F.min(value).alias(value))
     return (
         df.withColumn("salt", F.pmod(F.xxhash64(key, value), F.lit(salt_buckets)).cast("int"))
         .groupBy(key, "salt")
@@ -60,9 +68,13 @@ def connected_components(
     )
     bidir = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     bidir = bidir.localCheckpoint(eager=True)
+    n_edges = bidir.count()
     if cc_partitions is None:
-        n_edges = bidir.count()
         cc_partitions = max(2, min(256, n_edges // 100_000 + 2))
+    if n_edges < SALT_MIN_EDGES and salt_buckets == CC_SALT_BUCKETS:
+        # vocabulary-sized graph: skip the extra phase (an explicit
+        # salt_buckets argument is honored — tests force the salted path)
+        salt_buckets = 1
 
     spark = edges.sparkSession
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")

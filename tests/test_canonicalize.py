@@ -55,3 +55,17 @@ def test_two_stars_bridged(spark):
     edges += [("b_hub", f"b{i}") for i in range(50)]
     edges += [("a_hub", "b_hub")]
     _check(spark, edges)
+
+
+def test_salted_path_forced(spark):
+    """Explicit salt_buckets forces the two-phase reduce even on small
+    graphs (the size gate only applies to the default), so the salted
+    code path stays covered: star hub vs networkx."""
+    edges = [("hub", f"leaf{i:04d}") for i in range(300)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, salt_buckets=8).collect()
+    }
+    assert set(got.values()) == {"hub"}
+    assert len(got) == 301
