@@ -28,23 +28,33 @@ EMBED_DIM = 64
 
 
 def embed_texts_np(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
-    """Vectorized deterministic embedding of a text batch."""
+    """Vectorized deterministic embedding of a text batch.
+
+    One ``hash_array`` call + one scatter-add over the WHOLE batch
+    (per-text calls dominate at ~1M chunks). Bit-identical to the
+    per-text formulation: the scattered addends are exact +/-1.0, so
+    accumulation order cannot change the sums."""
     out = np.zeros((len(texts), dim), dtype=np.float64)
+    all_grams: list[str] = []
+    row_idx: list[int] = []
     for i, text in enumerate(texts):
         words = (text or "").lower().split()
         grams = words + [" ".join(words[j : j + 2]) for j in range(len(words) - 1)]
         if not grams:
             out[i, 0] = 1.0
             continue
-        h = pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
-        idx = (h % dim).astype(np.int64)
-        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
-        np.add.at(out[i], idx, sign)
-        n = np.linalg.norm(out[i])
-        if n == 0:
-            out[i, 0] = 1.0
-        else:
-            out[i] /= n
+        all_grams.extend(grams)
+        row_idx.extend([i] * len(grams))
+    if all_grams:
+        h = pd.util.hash_array(np.asarray(all_grams, dtype=object), categorize=False)
+        cols = (h % dim).astype(np.int64)
+        signs = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+        np.add.at(out, (np.asarray(row_idx, dtype=np.int64), cols), signs)
+        norms = np.linalg.norm(out, axis=1)
+        zero = norms == 0
+        out[zero, 0] = 1.0
+        norms[zero] = 1.0
+        out /= norms[:, None]
     return out
 
 
