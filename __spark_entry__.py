@@ -1169,7 +1169,8 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.chunks_with_entities, 0) AS chunks_with_entities,
                    coalesce(p.n_entities, 0) AS n_entities,
                    (coalesce(p.n_entities, 0) > 0
-                    AND coalesce(p.chunks_with_entities, 0) >= 0.7 * t.n_chunks)
+                    AND coalesce(p.chunks_with_entities, 0)
+                        >= CAST(0.7 AS DOUBLE) * t.n_chunks)
                        AS extraction_complete
             FROM tot t LEFT JOIN per p USING (doc_id)
         """,
