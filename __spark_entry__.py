@@ -793,7 +793,8 @@ _QUALITY_PENALIZED = f"""
   CASE WHEN length(trim(text)) < 5 THEN 0.0 ELSE
   ({_QUALITY_SQL})
   * (CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 0.8 ELSE 1.0 END)
-  * (CASE WHEN len(regexp_extract_all(text, '\\b\\w{{1,2}}\\b')) > length(text) * 0.1
+  * (CASE WHEN len(regexp_extract_all(text, '\\b\\w{{1,2}}\\b'))
+               > length(text) * CAST(0.1 AS DOUBLE)
           THEN 0.7 ELSE 1.0 END)
   * (CASE WHEN position('   ' in text) > 0 THEN 0.9 ELSE 1.0 END)
   * (CASE WHEN length(text) < 30 THEN 0.6 ELSE 1.0 END)
