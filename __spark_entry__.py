@@ -308,6 +308,37 @@ def _q_doc_summary_fields(spark, sf_dir):
     )
 
 
+def _q_query_routing(spark, sf_dir):
+    """§2.10 query-side heuristics batch-applied to deterministic query
+    strings synthesized from document prefixes: classification,
+    complexity, key concepts, multi-hop recommendation, and the hybrid
+    retrieval split. Oracle rebuilds the queries and reapplies every
+    rule in SQL."""
+    from graphrag_spark import query_analysis
+
+    d = _t(spark, sf_dir, "documents")
+    words8 = F.array_join(
+        F.slice(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", " ")), r"\s+"),
+            1, 8,
+        ),
+        " ",
+    )
+    qcol = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("what is "), words8))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("compare "), words8, F.lit(" versus the baseline")))
+        .otherwise(F.concat(F.lit("explain why "), words8))
+    )
+    analyzed = query_analysis.retrieval_split(
+        query_analysis.analyze_queries(d.select("doc_id", qcol.alias("query")))
+    )
+    return analyzed.select(
+        "doc_id", "query_type", "complexity", "multi_hop_recommended",
+        "path_weight", "chunk_count", "entity_count", "path_count",
+        F.array_join("key_concepts", ",").alias("key_concepts"),
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return gdedup.exact_dedup(d).orderBy("content_hash")
@@ -733,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "doc_summary_fields": _q_doc_summary_fields,
+        "query_routing": _q_query_routing,
         "exact_dedup": _q_exact_dedup,
         "cosine_topk": _q_cosine_topk,
         "knn_edges": _q_knn_edges,
@@ -800,6 +832,15 @@ _QUALITY_PENALIZED = f"""
   * (CASE WHEN length(text) < 30 THEN 0.6 ELSE 1.0 END)
   END
 """
+
+from graphrag_spark import query_analysis as _qa
+
+_QSTOP_SQL = ", ".join(f"'{w}'" for w in _qa.QUERY_STOP_WORDS)
+
+
+def _any_hit(words: list[str]) -> str:
+    return "(" + " OR ".join(f"position('{w}' IN q) > 0" for w in words) + ")"
+
 
 _LANG_HIT = (
     "len(list_intersect(regexp_split_to_array(lower(text), '\\s+'), {words}))"
@@ -1038,6 +1079,78 @@ def oracle_sql() -> dict[str, str]:
                         t -> CASE WHEN starts_with(trim(t), '#') THEN trim(t)
                                   ELSE '#' || trim(t) END), ','), '') AS hashtags
             FROM fields
+        """,
+        "query_routing": f"""
+            WITH built AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                           '\\s+'), 1, 8), ' ') AS w8
+                FROM documents
+            ),
+            qs AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 3 AS INT)
+                            WHEN 0 THEN 'what is ' || w8
+                            WHEN 1 THEN 'compare ' || w8 || ' versus the baseline'
+                            ELSE 'explain why ' || w8 END AS q
+                FROM built
+            ),
+            an AS (
+                SELECT doc_id, q,
+                       CASE WHEN {_any_hit(_qa.COMPARATIVE_WORDS)} THEN 'comparative'
+                            WHEN {_any_hit(_qa.ANALYTICAL_WORDS)} THEN 'analytical'
+                            WHEN {_any_hit(_qa.FACTUAL_WORDS)} THEN 'factual'
+                            ELSE 'general' END AS query_type,
+                       CASE WHEN len(regexp_split_to_array(q, '\\s+')) > 10
+                                 OR position('and' IN q) > 0 OR position('or' IN q) > 0
+                            THEN 'complex' ELSE 'simple' END AS complexity,
+                       list_slice(list_filter(
+                           regexp_split_to_array(regexp_replace(q, '[?!,]', '', 'g'), '\\s+'),
+                           w -> len(w) > 2 AND w NOT IN ({_QSTOP_SQL})), 1, 5) AS concepts,
+                       {_any_hit(_qa.RELATION_WORDS)} AS rel_hit,
+                       {_any_hit(_qa.TREND_WORDS)} AS trend_hit
+                FROM qs
+            ),
+            an2 AS (
+                SELECT *, len(concepts) AS nc,
+                       (query_type = 'comparative' OR complexity = 'complex') AS req_multi
+                FROM an
+            ),
+            an3 AS (
+                SELECT *,
+                       ((query_type IN ('comparative', 'analytical')
+                         OR (complexity = 'complex' AND nc >= 3)
+                         OR rel_hit OR trend_hit)
+                        AND NOT (query_type = 'factual' AND complexity = 'simple'
+                                 AND nc <= 2 AND NOT req_multi)) AS multi_hop_recommended,
+                       CASE WHEN query_type = 'comparative'
+                                THEN least(CAST(0.8 AS DOUBLE), CAST(0.6 AS DOUBLE) * CAST(1.3 AS DOUBLE))
+                            WHEN query_type = 'analytical'
+                                THEN least(CAST(0.7 AS DOUBLE), CAST(0.6 AS DOUBLE) * CAST(1.1 AS DOUBLE))
+                            ELSE greatest(CAST(0.2 AS DOUBLE), CAST(0.6 AS DOUBLE) * CAST(0.7 AS DOUBLE))
+                       END AS pw
+                FROM an2
+            )
+            SELECT doc_id, query_type, complexity, multi_hop_recommended,
+                   round(pw, 6) AS path_weight,
+                   CAST(CASE WHEN multi_hop_recommended
+                             THEN greatest(1, CAST(floor(10 * CAST(0.6 AS DOUBLE) * (1.0 - pw)) AS INT))
+                             ELSE greatest(1, CAST(floor(10 * CAST(0.6 AS DOUBLE)) AS INT))
+                        END AS INT) AS chunk_count,
+                   CAST(CASE WHEN multi_hop_recommended
+                             THEN greatest(1, CAST(floor(10 * (1 - CAST(0.6 AS DOUBLE)) * (1.0 - pw)) AS INT))
+                             ELSE greatest(1, 10 - greatest(1, CAST(floor(10 * CAST(0.6 AS DOUBLE)) AS INT)))
+                        END AS INT) AS entity_count,
+                   CAST(CASE WHEN NOT multi_hop_recommended THEN 0
+                             WHEN query_type = 'comparative'
+                                 THEN greatest(CAST(floor(10 * pw) AS INT), 5)
+                             WHEN query_type = 'analytical'
+                                 THEN greatest(CAST(floor(10 * pw) AS INT), 3)
+                             ELSE greatest(1, CAST(floor(10 * pw) AS INT))
+                        END AS INT) AS path_count,
+                   coalesce(array_to_string(concepts, ','), '') AS key_concepts
+            FROM an3
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
