@@ -185,8 +185,10 @@ def document_text(spans_df: DataFrame) -> DataFrame:
 
 
 def write_corpus(spark: SparkSession, flat_documents_path: str, out_path: str, buckets: int = 32) -> None:
-    """Materialize the spans corpus, bucketed by doc_id hash so every
-    downstream per-doc stage reads co-located partitions."""
+    """Materialize the spans corpus with a doc_id hash-bucket partition
+    column: balanced files and partition-pruned per-doc lookups (true
+    join co-location would need bucketed tables — see
+    materialize.write_table's Iceberg branch)."""
     df = build_spans_corpus(spark, flat_documents_path)
     df = df.withColumn("doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
     df.write.mode("overwrite").partitionBy("doc_bucket").parquet(out_path)

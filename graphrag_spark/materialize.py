@@ -180,8 +180,12 @@ def write_table(
     iceberg_table: str | None = None,
 ) -> None:
     """Partitioned table writer. If bucket_col is given, adds a
-    hash-bucket partition column for balanced files and co-located
-    downstream joins.
+    hash-bucket partition column: balanced file sizes and partition-
+    pruned point lookups (``WHERE bucket = pmod(xxhash64(k), n)``).
+    NOTE: directory partitioning alone does NOT make Spark skip the
+    join shuffle — true co-located joins need bucketed tables, which
+    the Iceberg branch below provides via a ``bucket(n, col)``
+    partition transform on a real catalog.
 
     Iceberg seam: pass ``iceberg_table`` (e.g. ``local.kg.triples``) on
     a cluster with an Iceberg catalog configured
