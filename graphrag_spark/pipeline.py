@@ -292,3 +292,16 @@ class KGPipeline:
             "mentions": mentions,
             "triples": triples,
         }
+
+
+def register_views(tables: dict[str, DataFrame], prefix: str = "kg_") -> list[str]:
+    """Expose the KG tables to the Spark SQL surface as temp views
+    (``kg_nodes``, ``kg_triples``, ...), so every reference query has a
+    plain-SQL entry point (``spark.sql("SELECT ... FROM kg_triples")``)
+    optimized by Catalyst exactly like the DataFrame API."""
+    names = []
+    for name, df in tables.items():
+        view = f"{prefix}{name}"
+        df.createOrReplaceTempView(view)
+        names.append(view)
+    return names

@@ -157,6 +157,26 @@ def sessionize_events(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS)
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark_col: str | None = None,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of dedup.exact_dedup.
+
+    With ``watermark_col`` set, uses ``dropDuplicatesWithinWatermark``
+    so the dedup state is BOUNDED by the watermark horizon (the 100 TB
+    posture: an unbounded seen-set would grow with the stream forever);
+    duplicates arriving within the delay window are suppressed,
+    later-than-watermark replays are the source's responsibility (e.g.
+    the idempotent batch_id sink below). Without a watermark column it
+    falls back to exact unbounded dropDuplicates (test scale only)."""
+    if watermark_col is not None:
+        return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(key_cols)
+    return stream.dropDuplicates(key_cols)
+
+
 def incremental_kg_ingest(
     spark: SparkSession,
     docs_stream_path: str,

@@ -108,3 +108,44 @@ def test_incremental_ingest_retry_idempotent(spark, corpus_path, tmp_path):
     chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks/batch_id=0")
     after = spark.read.parquet(f"{out_dir}/chunks").count()
     assert after == before
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming exact dedup (watermark-bounded state) over a doubled
+    event stream must emit exactly the batch-distinct row set."""
+    from graphrag_spark.streaming import read_event_stream, stream_dedup
+
+    events_path = str(tmp_path / "dup_events")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    e.unionAll(e).repartition(4).write.parquet(events_path)  # every row twice
+
+    q = (
+        stream_dedup(read_event_stream(spark, events_path), ["event_id"], watermark_col="ts")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out").count()
+    want = spark.read.parquet(events_path).select("event_id").distinct().count()
+    assert got == want
+
+
+def test_register_views_sql_surface(spark, corpus_path):
+    """The KG tables must be queryable through plain spark.sql."""
+    from graphrag_spark.pipeline import register_views, run_in_memory
+
+    out = run_in_memory(spark, spark.read.parquet(corpus_path))
+    views = register_views({"nodes": out["nodes"], "triples": out["triples"]})
+    assert set(views) == {"kg_nodes", "kg_triples"}
+    row = spark.sql(
+        """
+        SELECT t.subj, count(*) AS n
+        FROM kg_triples t
+        JOIN kg_nodes n ON upper(n.name) = upper(t.subj)
+        GROUP BY t.subj ORDER BY n DESC, t.subj LIMIT 1
+        """
+    ).first()
+    assert row["n"] >= 1
