@@ -339,6 +339,26 @@ def _q_query_routing(spark, sf_dir):
     )
 
 
+def _q_answer_quality(spark, sf_dir):
+    """§2.10 answer-quality rubric (heuristic path) over synthesized
+    (answer, query, context, n_sources) rows; oracle reapplies every
+    component heuristic in SQL."""
+    from graphrag_spark.answer_quality import answer_quality
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id",
+        F.substring("text", 1, 300).alias("answer"),
+        F.concat(F.lit("what is "), F.substring("text", 1, 40)).alias("query"),
+        F.col("text").alias("context"),
+        (F.col("doc_id") % 6).cast("int").alias("n_sources"),
+    )
+    return answer_quality(rows).select(
+        "doc_id", "context_relevance", "answer_completeness", "factual_grounding",
+        "coherence", "citation_quality", "total_score", "confidence",
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return gdedup.exact_dedup(d).orderBy("content_hash")
@@ -765,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "doc_summary_fields": _q_doc_summary_fields,
         "query_routing": _q_query_routing,
+        "answer_quality": _q_answer_quality,
         "exact_dedup": _q_exact_dedup,
         "cosine_topk": _q_cosine_topk,
         "knn_edges": _q_knn_edges,
@@ -1079,6 +1100,74 @@ def oracle_sql() -> dict[str, str]:
                         t -> CASE WHEN starts_with(trim(t), '#') THEN trim(t)
                                   ELSE '#' || trim(t) END), ','), '') AS hashtags
             FROM fields
+        """,
+        "answer_quality": """
+            WITH rows_in AS (
+                SELECT doc_id,
+                       substr(text, 1, 300) AS answer,
+                       'what is ' || substr(text, 1, 40) AS query,
+                       text AS context,
+                       CAST(doc_id % 6 AS INT) AS n_sources
+                FROM documents
+            ),
+            ws AS (
+                SELECT *,
+                    list_distinct(list_filter(regexp_split_to_array(lower(answer), '\\s+'), w -> w <> '')) AS aw,
+                    list_distinct(list_filter(regexp_split_to_array(lower(context), '\\s+'), w -> w <> '')) AS cw,
+                    list_distinct(list_filter(regexp_split_to_array(lower(query), '\\s+'), w -> w <> '')) AS qw,
+                    list_filter(list_transform(string_split(answer, '.'), s -> trim(s)), s -> s <> '') AS sents
+                FROM rows_in
+            ),
+            comp AS (
+                SELECT *,
+                    CASE WHEN len(aw) = 0 OR len(cw) = 0 THEN 50.0
+                         ELSE least(len(list_intersect(aw, cw))
+                                    / CAST(len(aw) AS DOUBLE) * 150, 100.0) END AS rel,
+                    (len(list_intersect(qw, aw)) / CAST(greatest(len(qw), 1) AS DOUBLE) * CAST(0.6 AS DOUBLE)
+                     + least(length(answer) / CAST(500 AS DOUBLE), 1.0) * CAST(0.4 AS DOUBLE)) * 100 AS cmp,
+                    CASE WHEN len(sents) = 0 THEN 40.0
+                         ELSE least(length(answer) / CAST(500 AS DOUBLE), 1.0) * 30
+                              + least(len(sents) / CAST(3.0 AS DOUBLE), 1.0) * 30
+                              + (CASE WHEN length(answer) / CAST(greatest(len(sents), 1) AS DOUBLE) > 20
+                                       AND length(answer) / CAST(greatest(len(sents), 1) AS DOUBLE) < 200
+                                      THEN 40.0 ELSE 20.0 END) END AS coh,
+                    CASE WHEN n_sources = 0 THEN 50.0
+                         ELSE least(
+                             least(n_sources * 15.0, 80.0)
+                             + (CASE
+                                 WHEN length(answer) / CAST(greatest(n_sources * 100, 1) AS DOUBLE)
+                                      BETWEEN 0.5 AND 2.0 THEN 20.0
+                                 WHEN (length(answer) / CAST(greatest(n_sources * 100, 1) AS DOUBLE) >= 0.3
+                                       AND length(answer) / CAST(greatest(n_sources * 100, 1) AS DOUBLE) < 0.5)
+                                   OR (length(answer) / CAST(greatest(n_sources * 100, 1) AS DOUBLE) > 2.0
+                                       AND length(answer) / CAST(greatest(n_sources * 100, 1) AS DOUBLE) <= 3.0)
+                                      THEN 10.0
+                                 ELSE 0.0 END), 100.0) END AS cit
+                FROM ws
+            ),
+            tot AS (
+                SELECT *,
+                    rel * CAST(0.30 AS DOUBLE) + cmp * CAST(0.25 AS DOUBLE)
+                    + rel * CAST(0.25 AS DOUBLE) + coh * CAST(0.10 AS DOUBLE)
+                    + cit * CAST(0.10 AS DOUBLE) AS total,
+                    (rel + cmp + rel + coh + cit) / 5.0 AS mean
+                FROM comp
+            )
+            SELECT doc_id,
+                   round(rel, 1) AS context_relevance,
+                   round(cmp, 1) AS answer_completeness,
+                   round(rel, 1) AS factual_grounding,
+                   round(coh, 1) AS coherence,
+                   round(cit, 1) AS citation_quality,
+                   round(total, 1) AS total_score,
+                   CASE WHEN ((rel-mean)*(rel-mean) + (cmp-mean)*(cmp-mean)
+                              + (rel-mean)*(rel-mean) + (coh-mean)*(coh-mean)
+                              + (cit-mean)*(cit-mean)) / 5.0 < 100 THEN 'high'
+                        WHEN ((rel-mean)*(rel-mean) + (cmp-mean)*(cmp-mean)
+                              + (rel-mean)*(rel-mean) + (coh-mean)*(coh-mean)
+                              + (cit-mean)*(cit-mean)) / 5.0 < 400 THEN 'medium'
+                        ELSE 'low' END AS confidence
+            FROM tot
         """,
         "query_routing": f"""
             WITH built AS (
