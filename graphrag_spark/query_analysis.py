@@ -56,8 +56,11 @@ def analyze_queries(queries: DataFrame, query_col: str = "query") -> DataFrame:
         .when(_contains_any(lower, FACTUAL_WORDS), "factual")
         .otherwise("general")
     )
+    # Python's str.split() drops empty tokens; Spark's split keeps
+    # leading/trailing empties — filter them or padded queries miscount
+    n_words = F.size(F.filter(F.split(q, r"\s+"), lambda w: w != ""))
     complexity = F.when(
-        (F.size(F.split(q, r"\s+")) > 10) | lower.contains("and") | lower.contains("or"),
+        (n_words > 10) | lower.contains("and") | lower.contains("or"),
         "complex",
     ).otherwise("simple")
     requires_multiple = (qtype == "comparative") | (complexity == "complex")

@@ -21,6 +21,8 @@ QUERIES = [
     "list all the items",
     "What is X and what is Y and how do they connect together over time?",
     "",
+    "   padded   query   with   extra   spaces   between   every   single   word   here   now  ",
+    "\tleading tab what is this",
 ]
 
 
