@@ -69,20 +69,42 @@ def beam_search_paths(
     seeds: list[str],
     max_hops: int = 2,
     beam_size: int = 8,
+    min_edge_strength: float = 0.0,
+    with_support: bool = False,
 ) -> DataFrame:
     """G5 (core/graph_db.py:1628-1802): per-hop beam expansion; path
     score = 0.5*path + 0.3*strength + 0.2*importance (:1766-1772);
-    visited filtering; global beam per hop via window rank."""
+    visited filtering; global beam per hop via window rank.
+
+    ``with_support`` additionally accumulates the traversed triples'
+    source_chunks per path (the reference's per-hop supporting chunk
+    ids, graph_db.py:1714-1728) for path-provenance retrieval."""
     spark = triples.sparkSession
-    edges = undirected_edges(triples)
+    if with_support:
+        sc = triples.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"), "strength", "source_chunks"
+        )
+        edges = sc.unionByName(
+            sc.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "strength", "source_chunks"
+            )
+        ).filter(F.col("strength") >= min_edge_strength)
+    else:
+        edges = undirected_edges(triples).filter(F.col("strength") >= min_edge_strength)
     imp = nodes.select(F.col("name").alias("dst"), "importance")
-    paths = spark.createDataFrame([(s,) for s in seeds], "tail string").select(
+    paths = spark.createDataFrame([(s,) for s in dict.fromkeys(seeds)], "tail string").select(
         F.col("tail"),
         F.array("tail").alias("path"),
         F.lit(1.0).alias("path_score"),
+        F.array().cast("array<string>").alias("support"),
     )
     out = paths
     for _hop in range(max_hops):
+        new_support = (
+            F.array_distinct(F.concat("support", F.col("source_chunks")))
+            if with_support
+            else F.col("support")
+        )
         expanded = (
             edges.join(paths.withColumnRenamed("tail", "src"), "src")
             .join(F.broadcast(imp), "dst", "left")
@@ -94,6 +116,7 @@ def beam_search_paths(
                 (0.5 * F.col("path_score") + 0.3 * F.col("strength") + 0.2 * F.col("importance")).alias(
                     "path_score"
                 ),
+                new_support.alias("support"),
             )
         )
         # global per-hop beam = orderBy().limit() — TakeOrderedAndProject
@@ -105,7 +128,105 @@ def beam_search_paths(
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(paths)
-    return out.select("path", F.round("path_score", 6).alias("path_score"))
+    cols = ["path", F.round("path_score", 6).alias("path_score")]
+    if with_support:
+        cols.append(F.sort_array("support").alias("support"))
+    return out.select(*cols)
+
+
+def multi_hop_retrieval(
+    chunks: DataFrame,
+    nodes: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    query_vec: list[float],
+    seed_top_k: int = 5,
+    max_hops: int = 2,
+    beam_size: int = 8,
+    min_edge_strength: float = 0.0,
+) -> DataFrame:
+    """Multi-hop reasoning retrieval (rag/retriever.py:409-600) as one
+    declarative DAG over the stored tables:
+
+    1. hybrid seeding — vector top (2k) chunks for the query, entities
+       mentioned in them, top ``seed_top_k`` by importance;
+    2. beam-search paths from the seeds with per-edge supporting-chunk
+       provenance (the traversed triples' source_chunks);
+    3. path scoring — ``0.6*path_score + 0.3*cos(query, mean entity
+       embedding along the path) + 0.1*max cos(query, supporting-chunk
+       embedding)`` (retriever.py:541-550, alpha/beta/gamma weights);
+    4. one row per supporting chunk with the best path's score
+       (set-oriented dedup; the reference keeps first-path order and
+       dedups later in the hybrid merge).
+
+    Returns (chunk_id, similarity) — the path-based side of the hybrid
+    merge (see ``hybrid_merge``)."""
+    from .similarity import cosine_col, cosine_topk_query
+
+    # 1. hybrid seeding
+    top_chunks = cosine_topk_query(
+        chunks, query_vec, k=2 * seed_top_k, id_col="chunk_id"
+    ).select("chunk_id")
+    seeds = [
+        r["name"]
+        for r in mentions.join(F.broadcast(top_chunks), "chunk_id")
+        .join(nodes.select("entity_id", "name", "importance"), "entity_id")
+        .groupBy("name")
+        .agg(F.max("importance").alias("importance"))
+        .orderBy(F.desc("importance"), "name")
+        .limit(seed_top_k)
+        .collect()
+    ]
+    if not seeds:
+        return chunks.sparkSession.createDataFrame([], "chunk_id string, similarity double")
+
+    # 2. scored paths with provenance
+    paths = beam_search_paths(
+        triples, nodes, seeds, max_hops=max_hops, beam_size=beam_size,
+        min_edge_strength=min_edge_strength, with_support=True,
+    ).filter(F.size("support") > 0)
+    paths = paths.withColumn("path_id", F.concat_ws(">", "path"))
+
+    # 3a. path embedding = elementwise mean of entity embeddings
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    ent = paths.select("path_id", F.explode("path").alias("name")).join(
+        nodes.select("name", "embedding"), "name"
+    )
+    dim_vals = ent.select("path_id", F.posexplode("embedding").alias("pos", "v"))
+    path_emb = (
+        dim_vals.groupBy("path_id", "pos")
+        .agg(F.avg("v").alias("v"))
+        .groupBy("path_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("path_id", F.transform("pv", lambda s: s["v"]).alias("path_emb"))
+    )
+    path_q_sim = path_emb.select(
+        "path_id", cosine_col(F.col("path_emb"), q).alias("path_q_sim")
+    )
+
+    # 3b. max query-similarity over each path's supporting chunks
+    support = paths.select("path_id", "path_score", F.explode("support").alias("chunk_id"))
+    chunk_sim = chunks.select(
+        "chunk_id", cosine_col(F.col("embedding").cast("array<double>"), q).alias("chunk_sim")
+    )
+    per_path = (
+        support.join(chunk_sim, "chunk_id")
+        .groupBy("path_id", "path_score")
+        .agg(F.max("chunk_sim").alias("max_chunk_sim"))
+    )
+    scored = per_path.join(path_q_sim, "path_id").select(
+        "path_id",
+        (0.6 * F.col("path_score") + 0.3 * F.coalesce("path_q_sim", F.lit(0.0))
+         + 0.1 * F.col("max_chunk_sim")).alias("final_score"),
+    )
+
+    # 4. per supporting chunk, best path's score
+    return (
+        support.join(scored, "path_id")
+        .groupBy("chunk_id")
+        .agg(F.round(F.max("final_score"), 6).alias("similarity"))
+        .orderBy(F.desc("similarity"), "chunk_id")
+    )
 
 
 def expand_with_strength_decay(

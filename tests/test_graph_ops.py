@@ -188,3 +188,33 @@ def test_hybrid_merge_golden(spark):
     c2 = spark.createDataFrame([("x", 0.9)], "chunk_id string, similarity double")
     e2 = spark.createDataFrame([("x", 0.9)], "chunk_id string, similarity double")
     assert graph_query.hybrid_merge(c2, e2).collect()[0]["hybrid_score"] == 1.0
+
+
+def test_multi_hop_retrieval(kg):
+    """Composed path-based retrieval: rows reference real chunks,
+    scores are bounded and sorted, provenance holds (every returned
+    chunk supports at least one traversed triple), and the whole job
+    is deterministic."""
+    qrow = kg["chunks"].orderBy("chunk_id").select("embedding").first()
+    out = graph_query.multi_hop_retrieval(
+        kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], list(qrow[0])
+    )
+    rows = out.collect()
+    assert rows, "no path-based results"
+    sims = [r["similarity"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    chunk_ids = {r["chunk_id"] for r in rows}
+    valid = {r["chunk_id"] for r in kg["chunks"].select("chunk_id").collect()}
+    assert chunk_ids <= valid
+    # provenance: returned chunks appear in some triple's source_chunks
+    import pyspark.sql.functions as F2
+    sup = {
+        r["c"]
+        for r in kg["triples"].select(F2.explode("source_chunks").alias("c")).distinct().collect()
+    }
+    assert chunk_ids <= sup
+    # determinism
+    rows2 = graph_query.multi_hop_retrieval(
+        kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], list(qrow[0])
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
