@@ -342,6 +342,114 @@ def hybrid_merge(
     ).orderBy(F.desc("hybrid_score"), "chunk_id")
 
 
+def hybrid_merge_3way(
+    chunk_results: DataFrame,
+    entity_results: DataFrame,
+    path_results: DataFrame,
+    entity_fallback: float = 0.3,
+    path_fallback: float = 0.3,
+) -> DataFrame:
+    """J6 full 3-phase combine (rag/retriever.py:725-792): chunk +
+    entity sides merge with the ``min(1,(a+b)*0.8)`` boost; path
+    results then merge into whatever is present with
+    ``min(1,(current+path)*0.7)`` (source 'hybrid_with_paths'); single-
+    path chunks keep their own score."""
+    two = hybrid_merge(chunk_results, entity_results, entity_fallback)
+    p = path_results.select("chunk_id", F.col("similarity").alias("path_score"))
+    merged = two.join(p, "chunk_id", "full_outer")
+    has_prev = F.col("hybrid_score").isNotNull()
+    has_path = F.col("path_score").isNotNull()
+    score = (
+        F.when(has_prev & has_path,
+               F.least(F.lit(1.0), (F.col("hybrid_score") + F.col("path_score")) * 0.7))
+        .when(has_prev, F.col("hybrid_score"))
+        .otherwise(F.coalesce("path_score", F.lit(path_fallback)))
+    )
+    source = (
+        F.when(has_prev & has_path, F.lit("hybrid_with_paths"))
+        .when(has_prev, F.col("source"))
+        .otherwise(F.lit("path_based"))
+    )
+    return merged.select(
+        "chunk_id", source.alias("source"), F.round(score, 6).alias("hybrid_score")
+    ).orderBy(F.desc("hybrid_score"), "chunk_id")
+
+
+def hybrid_retrieval(
+    chunks: DataFrame,
+    nodes: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    query_text: str,
+    top_k: int = 10,
+    expansion_threshold: float = 0.1,
+) -> DataFrame:
+    """The reference's full hybrid retrieval (rag/retriever.py:600-800)
+    end to end, LLM-free: analyze the query (type / multi-hop
+    recommendation -> per-side slot budget), run the three retrieval
+    modes over the stored tables, and combine with the boost formulas.
+
+    - chunk side: vector top-k with the deterministic text encoder;
+    - entity side: strength-decay expansion (G6) from the vector-seeded
+      top entities, chunks scored by their best contained entity;
+    - path side: multi-hop reasoning retrieval (beam paths with
+      supporting-chunk provenance) when recommended.
+
+    Returns (chunk_id, source, hybrid_score) limited to ``top_k``.
+    """
+    from .embeddings import embed_texts_np
+    from .query_analysis import py_analyze_query, py_retrieval_split
+    from .similarity import cosine_topk_query
+
+    qvec = [float(x) for x in embed_texts_np([query_text])[0]]
+    analysis = py_analyze_query(query_text)
+    split = py_retrieval_split(
+        analysis["query_type"], analysis["multi_hop_recommended"], top_k
+    )
+
+    chunk_side = cosine_topk_query(
+        chunks, qvec, k=split["chunk_count"], id_col="chunk_id"
+    )
+
+    top_chunks = cosine_topk_query(chunks, qvec, k=10, id_col="chunk_id").select("chunk_id")
+    seeds = [
+        r["name"]
+        for r in mentions.join(F.broadcast(top_chunks), "chunk_id")
+        .join(nodes.select("entity_id", "name", "importance"), "entity_id")
+        .groupBy("name")
+        .agg(F.max("importance").alias("importance"))
+        .orderBy(F.desc("importance"), "name")
+        .limit(5)
+        .collect()
+    ]
+    exp = expand_with_strength_decay(triples, seeds) if seeds else None
+    if exp is not None:
+        entity_side = (
+            mentions.join(nodes.select("entity_id", "name"), "entity_id")
+            .join(exp, "name")
+            .groupBy("chunk_id")
+            .agg(F.max("score").alias("similarity"))
+            .filter(F.col("similarity") >= expansion_threshold)
+            .orderBy(F.desc("similarity"), "chunk_id")
+            .limit(split["entity_count"])
+        )
+    else:
+        entity_side = chunks.sparkSession.createDataFrame(
+            [], "chunk_id string, similarity double"
+        )
+
+    if split["path_count"] > 0:
+        path_side = multi_hop_retrieval(
+            chunks, nodes, mentions, triples, qvec
+        ).limit(split["path_count"])
+    else:
+        path_side = chunks.sparkSession.createDataFrame(
+            [], "chunk_id string, similarity double"
+        )
+
+    return hybrid_merge_3way(chunk_side, entity_side, path_side).limit(top_k)
+
+
 def fulltext_search(chunks: DataFrame, query: str, top_k: int = 10) -> DataFrame:
     """T7 (core/graph_db.py:1084-1110): term-frequency ranked chunk
     search. Each query term is counted with regexp_count (word

@@ -218,3 +218,37 @@ def test_multi_hop_retrieval(kg):
         kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], list(qrow[0])
     ).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_hybrid_merge_3way_golden(spark):
+    c = spark.createDataFrame([("k1", 0.9), ("k2", 0.5)], "chunk_id string, similarity double")
+    e = spark.createDataFrame([("k2", 0.7), ("k3", 0.4)], "chunk_id string, similarity double")
+    p = spark.createDataFrame([("k2", 0.6), ("k4", 0.3)], "chunk_id string, similarity double")
+    rows = {r["chunk_id"]: r for r in graph_query.hybrid_merge_3way(c, e, p).collect()}
+    # k2: two-way boost min(1,(0.5+0.7)*0.8)=0.96, then path boost
+    # min(1,(0.96+0.6)*0.7)=1.0 (capped via the 0.7 product = 1.092 -> 1.0)
+    assert rows["k2"]["source"] == "hybrid_with_paths"
+    assert abs(rows["k2"]["hybrid_score"] - 1.0) < 1e-9
+    assert rows["k1"]["source"] == "chunk_based" and rows["k1"]["hybrid_score"] == 0.9
+    assert rows["k3"]["source"] == "entity_based"
+    assert rows["k4"]["source"] == "path_based" and rows["k4"]["hybrid_score"] == 0.3
+
+
+def test_hybrid_retrieval_end_to_end(kg):
+    """The full LLM-free hybrid retrieval over stored tables: analyzes
+    the query, runs all three modes, merges with the boost formulas."""
+    out = graph_query.hybrid_retrieval(
+        kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"],
+        "explain the relationship between the partnership and the rollout",
+        top_k=10,
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    assert all(0.0 <= r["hybrid_score"] <= 1.0 for r in rows)
+    sources = {r["source"] for r in rows}
+    assert sources <= {"chunk_based", "entity_based", "hybrid", "path_based", "hybrid_with_paths"}
+    sims = [r["hybrid_score"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # an analytical relationship query recommends multi-hop -> some
+    # non-chunk source must appear
+    assert sources - {"chunk_based"}, sources
