@@ -748,6 +748,15 @@ def _q_document_profile(spark, sf_dir):
     )
 
 
+def _q_ngram_jaccard_dups(spark, sf_dir):
+    """EXACT n-gram Jaccard near-dup pairs (inverted shingle index);
+    oracle recomputes intersection/union from the exported shingle
+    sets with a brute-force unnest join."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _export(gdedup.shingle_sets(d), sf_dir, "shingle_sets")
+    return gdedup.ngram_jaccard_pairs_from_shingles(sh, threshold=0.5).orderBy("src", "dst")
+
+
 def _q_lsh_embedding_dups(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return gdedup.embedding_near_dups(e, threshold=0.35).orderBy("src", "dst")
@@ -819,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "simhash128_near_dups": _q_simhash128_near_dups,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "document_profile": _q_document_profile,
         "lsh_embedding_dups": _q_lsh_embedding_dups,
         "media_features": _q_media_features,
@@ -1642,6 +1652,23 @@ def oracle_sql() -> dict[str, str]:
                    round(({_QUALITY_PENALIZED}), 6) AS quality,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
+        """,
+        "ngram_jaccard_dups": f"""
+            WITH ex AS (
+                SELECT id, len(shingles) AS n, unnest(shingles) AS s
+                FROM {_p("shingle_sets")}
+            ),
+            inter AS (
+                SELECT a.id AS src, b.id AS dst, a.n AS na, b.n AS nb,
+                       count(*) AS i
+                FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT src, dst, jaccard FROM (
+                SELECT src, dst,
+                       round(i / CAST(na + nb - i AS DOUBLE), 6) AS jaccard
+                FROM inter
+            ) WHERE jaccard >= 0.5 ORDER BY src, dst
         """,
         "ivf_ann": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

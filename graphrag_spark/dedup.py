@@ -70,6 +70,61 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False)
 
 
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<long>) — the DISTINCT word n-gram shingle
+    hashes per document (sorted for deterministic storage)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", docs.schema[id_col].dataType),
+            T.StructField("shingles", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                h = np.unique(_shingle_hashes(text or "", shingle_n).astype(np.int64))
+                rows.append((did, h.tolist()))
+            yield pd.DataFrame(rows, columns=["id", "shingles"])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def ngram_jaccard_pairs_from_shingles(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
+    index: explode (id, shingle), self-join on the shingle, count
+    intersections per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+
+    This is the standard distributed set-similarity join: shuffle is
+    O(total shingle occurrences + co-occurring pair rows), never an
+    all-pairs matrix, and map-side partial counts compress the pair
+    expansion. At corpus scale, prefix filtering (only the
+    (1-t)*|A|+1 smallest shingles per doc need indexing to guarantee
+    recall at threshold t) bounds hot shingles — the same pigeonhole
+    family as the MinHash banding above."""
+    ex = sh.select(
+        F.col("id"), F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    )
+    a = ex.select(F.col("id").alias("src"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("id").alias("dst"), F.col("n").alias("nb"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    )
+    return (
+        inter.select("src", "dst", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Exact n-gram Jaccard similarity (verification primitive)."""
     sa = set(_shingle_hashes(a, n).tolist())

@@ -168,3 +168,23 @@ def test_simhash128_full_recall_and_fewer_collisions(spark):
     }
     assert got == brute
     assert any(True for _ in brute), "corpus planted no near-dups at radius 12"
+
+
+def test_ngram_jaccard_pairs_exact(spark, docs_df):
+    """The inverted-index set-similarity join must equal the pairwise
+    ngram_jaccard primitive on every candidate pair."""
+    from graphrag_spark.dedup import ngram_jaccard_pairs_from_shingles, shingle_sets
+
+    texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    got = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_from_shingles(shingle_sets(docs_df), threshold=0.3).collect()
+    }
+    brute = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = ngram_jaccard(texts[a], texts[b])
+            if j >= 0.3:
+                brute[(a, b)] = round(j, 6)
+    assert got == brute
