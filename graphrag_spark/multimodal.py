@@ -136,6 +136,43 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Resize plumbing: decode each payload and nearest-neighbor
+    resample the tile to (out_h, out_w), emitting the row-major pixel
+    array — the batch shape of a real thumbnail/resize UDF (swap
+    ``_decode_payload`` + the sampler for PIL in production). The
+    nearest-neighbor index math is deterministic and library-free."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, kind, payload in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
+                tile = _decode_payload(bytes(payload))  # (16, 16) floats
+                h, w = tile.shape
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                resized = tile[np.ix_(ri, ci)]
+                rows.append(
+                    (ref, kind, out_w, out_h, [round(float(x), 6) for x in resized.ravel()])
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "kind", "out_width", "out_height", "pixels"]
+            )
+
+    return media.select("media_ref", "kind", "payload").mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing for clip-like payloads: emits n_frames
     rows per media item with a per-frame slice of the payload — the

@@ -59,3 +59,24 @@ def test_frame_sample(media_df):
         by_ref.setdefault(r["media_ref"], []).append(r["frame_index"])
     for ref, idxs in by_ref.items():
         assert sorted(idxs) == [0, 1, 2, 3]
+
+
+def test_resize_media(media_df):
+    """Nearest-neighbor resize: output shape, determinism, and value
+    provenance (every resized pixel exists in the decoded source tile)."""
+    import numpy as np
+
+    from graphrag_spark.multimodal import _decode_payload, resize_media
+
+    out = resize_media(media_df, out_w=8, out_h=8)
+    rows = out.collect()
+    assert rows
+    payloads = {r["media_ref"]: bytes(r["payload"]) for r in media_df.collect()}
+    for r in rows[:10]:
+        assert r["out_width"] == 8 and r["out_height"] == 8
+        assert len(r["pixels"]) == 64
+        src = {round(float(x), 6) for x in _decode_payload(payloads[r["media_ref"]]).ravel()}
+        assert set(r["pixels"]) <= src
+    again = {r["media_ref"]: r["pixels"] for r in resize_media(media_df, 8, 8).collect()}
+    for r in rows:
+        assert again[r["media_ref"]] == r["pixels"]
