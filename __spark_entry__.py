@@ -48,8 +48,11 @@ def _export_dir(sf_dir: str) -> str:
 
 
 def _oracle_path(name: str) -> str:
-    """Path the (sf0.01-only) oracle SQL reads."""
-    return f"{ORACLE_EXPORT_ROOT}/sf0.01/{name}/*.parquet"
+    """Path the oracle SQL reads — sf0.01 (the driver's comparison SF)
+    unless GRAPHRAG_ORACLE_SF_TAG overrides it for local deep checks
+    at other scales (tools/check_oracle.py)."""
+    tag = os.environ.get("GRAPHRAG_ORACLE_SF_TAG", "sf0.01")
+    return f"{ORACLE_EXPORT_ROOT}/{tag}/{name}/*.parquet"
 
 
 _EXPORTED: set[tuple[str, str]] = set()

@@ -6,6 +6,7 @@ insensitive values. Usage: python tools/check_oracle.py [names...]"""
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -14,7 +15,7 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 from graphrag_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
