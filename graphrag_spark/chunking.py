@@ -55,8 +55,6 @@ def _split_keep_sep(text: str, sep: str) -> list[str]:
     merged = [parts[i] + parts[i + 1] for i in range(1, len(parts) - 1, 2)]
     tail = parts[-1:] if len(parts) % 2 == 0 else []
     out = ([parts[0]] if parts[0] else []) + merged + tail
-    if len(parts) % 2 == 1 and len(parts) > 1 and parts[-1] == "":
-        pass
     return [p for p in out if p != ""]
 
 

@@ -93,34 +93,74 @@ def shingle_sets(
     return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
-def ngram_jaccard_pairs_from_shingles(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
-    index: explode (id, shingle), self-join on the shingle, count
-    intersections per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+def _prefix_index(sh: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered inverted index (id, s): only the first
+    ``|A| - ceil(t*|A|) + 1`` shingles of each (hash-sorted) shingle
+    set are indexed.
 
-    This is the standard distributed set-similarity join: shuffle is
-    O(total shingle occurrences + co-occurring pair rows), never an
-    all-pairs matrix, and map-side partial counts compress the pair
-    expansion. At corpus scale, prefix filtering (only the
-    (1-t)*|A|+1 smallest shingles per doc need indexing to guarantee
-    recall at threshold t) bounds hot shingles — the same pigeonhole
-    family as the MinHash banding above."""
-    ex = sh.select(
-        F.col("id"), F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    Recall argument (the prefix filtering principle, SSJoin/AllPairs):
+    under any global total order — here the shingle hash value;
+    ``shingle_sets`` stores arrays sorted ascending — if J(A,B) >= t
+    then |A∩B| >= ceil(t*max(|A|,|B|)), and two sets with |A∩B| >= a
+    must share an element within their ``(|X| - a + 1)``-prefixes
+    (if a set's prefix misses B entirely, at most |X| - prefix_len =
+    a - 1 < a elements remain to intersect). Taking the per-set bound
+    a_X = ceil(t*|X|) — each true pair satisfies |A∩B| >= max(a_A,
+    a_B), and the smaller-a side's prefix is only LONGER than the
+    lemma needs — every qualifying pair collides on at least one
+    indexed shingle: deterministic 100% recall at the threshold."""
+    n = F.size("shingles")
+    plen = (n - F.ceil(n * F.lit(float(threshold))) + 1).cast("int")
+    return sh.select(
+        F.col("id"), F.explode(F.slice("shingles", F.lit(1), plen)).alias("s")
     )
-    a = ex.select(F.col("id").alias("src"), F.col("n").alias("na"), "s")
-    b = ex.select(F.col("id").alias("dst"), F.col("n").alias("nb"), "s")
-    inter = (
-        a.join(b, "s")
+
+
+def ngram_jaccard_pairs_from_shingles(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via a PREFIX-FILTERED
+    inverted shingle index: index only the ``(1-t)*|A|+1`` smallest
+    shingle hashes per doc (see ``_prefix_index`` for the recall
+    proof), self-join on the shingle for candidate pairs, then verify
+    each candidate exactly with a native ``array_intersect`` over the
+    full (distinct, sorted) shingle arrays:
+    J = |A∩B| / (|A|+|B|-|A∩B|).
+
+    Scale posture: candidate generation shuffles O(sum of prefix
+    lengths) index rows — at t=0.5 about half the former full index —
+    and a ubiquitous "stop shingle" ("the quick brown") only fans out
+    the self-join when it lands inside a prefix, which under the hash
+    order happens for ~(1-t) of the docs containing it instead of all
+    of them; verification touches candidate pairs only, each at
+    O(|A|+|B|) via the JVM-side array intersect, never an all-pairs
+    matrix and never the former per-pair exploded-row groupBy. For
+    adversarial hot shingles, re-ranking the global order by ascending
+    document frequency (rarest first — one extra df-aggregate pass)
+    pushes frequent shingles out of every prefix; documented option,
+    not needed at current corpus profiles."""
+    pref = _prefix_index(sh, threshold)
+    cand = (
+        pref.withColumnRenamed("id", "src")
+        .join(pref.withColumnRenamed("id", "dst"), "s")
         .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst", "na", "nb")
-        .agg(F.count("*").alias("inter"))
+        .select("src", "dst")
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col("id").alias("src"), F.col("shingles").alias("sa")), "src")
+        .join(sh.select(F.col("id").alias("dst"), F.col("shingles").alias("sb")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
     )
     jac = F.round(
         F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
     )
     return (
-        inter.select("src", "dst", jac.alias("jaccard"))
+        verified.select("src", "dst", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -208,6 +248,17 @@ def minhash_pairs_from_signatures(
     """Banded LSH pair generation over a precomputed (id, signature)
     frame (see minhash_lsh_pairs for the recall guarantee)."""
     first = sigs.select(F.size("signature").alias("n")).first()
+    if first is None:  # empty input: no signatures, no pairs
+        spark = sigs.sparkSession
+        return spark.createDataFrame(
+            [], T.StructType(
+                [
+                    T.StructField("src", sigs.schema["id"].dataType),
+                    T.StructField("dst", sigs.schema["id"].dataType),
+                    T.StructField("est_jaccard", T.DoubleType()),
+                ]
+            )
+        )
     num_perm = int(first["n"])
     rows_per_band = num_perm // bands
 
@@ -378,13 +429,18 @@ def simhash128_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str
 
 
 def _slice_bits_128(lo: F.Column, hi: F.Column, start: int, end: int) -> F.Column:
-    """Bits [start, end) of the 128-bit value (hi:lo) as a non-negative
-    long — native bitwise column ops, handles word-straddling bands."""
+    """Bits [start, end) of the 128-bit value (hi:lo) as a long (the
+    band value may be negative for full-word bands — it is only ever
+    used as an opaque bucket key) — native bitwise column ops, handles
+    word-straddling and full-64-bit bands (width == 64 must not build
+    lit(2^64 - 1): that overflows LongType; a full word needs no mask)."""
     width = end - start
     if end <= 64:
-        return F.shiftrightunsigned(lo, start).bitwiseAND(F.lit((1 << width) - 1))
+        sh = F.shiftrightunsigned(lo, start)
+        return sh if width >= 64 else sh.bitwiseAND(F.lit((1 << width) - 1))
     if start >= 64:
-        return F.shiftrightunsigned(hi, start - 64).bitwiseAND(F.lit((1 << width) - 1))
+        sh = F.shiftrightunsigned(hi, start - 64)
+        return sh if width >= 64 else sh.bitwiseAND(F.lit((1 << width) - 1))
     lo_part = F.shiftrightunsigned(lo, start)  # top (64-start) bits of lo
     hi_part = hi.bitwiseAND(F.lit((1 << (end - 64)) - 1))
     return lo_part.bitwiseOR(F.shiftleft(hi_part, 64 - start))

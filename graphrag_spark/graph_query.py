@@ -311,6 +311,16 @@ def hybrid_merge(
     'hybrid'; single-path chunks keep their own score (entity side
     falls back to ``entity_fallback`` when its score is null).
 
+    Documented divergences from retriever.py:725-762 (deliberate):
+    the reference never assigns ``hybrid_score`` to chunk_based-only
+    entries, so they sort with an implicit 0.0 in its final ranking —
+    here they keep their ``chunk_score`` (a chunk found only by the
+    vector path still ranks by its vector similarity, which is the
+    behavior a retrieval consumer wants). Likewise the reference's
+    "allow up to 2x path_count when path results score high" widening
+    (retriever.py:769-776) is not reproduced in ``hybrid_retrieval``;
+    the slot budget from py_retrieval_split is applied as-is.
+
     Inputs: (chunk_id, similarity) frames from the vector path and the
     entity-expansion path. Returns (chunk_id, source, hybrid_score).
     """

@@ -74,14 +74,18 @@ def pairwise_topk(
     the reference's SIMILAR_TO edge builder (J1/J2) as one job.
 
     If ``block_col`` is given (e.g. doc_id), pairs form only within a
-    block (reference's per-document scoping, graph_db.py:239-297);
-    otherwise a single global block (test scale only — use
-    ``lsh_bucket_pairs`` at corpus scale).
+    block (reference's per-document scoping, graph_db.py:239-297).
+    With ``block_col=None`` the call routes to
+    ``pairwise_topk_blocked`` — the global all-pairs case must never
+    put the whole matrix in one task (use ``lsh_bucket_pairs`` for the
+    approximate corpus-scale path).
     """
-    bc = block_col or "__global__"
-    df = embeddings
     if block_col is None:
-        df = df.withColumn(bc, F.lit(0))
+        return pairwise_topk_blocked(
+            embeddings, k=k, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    bc = block_col
+    df = embeddings
     out_schema = T.StructType(
         [
             T.StructField("src", df.schema[id_col].dataType),

@@ -7,9 +7,18 @@ Token counting uses the reference's documented fallback approximation
 optional dependency there and absent here); the packing semantics are
 the reference's greedy loop exactly: per query, chunks are packed in
 order into batches of at most ``available = budget - query_tokens -
-system_tokens`` tokens, a chunk larger than the whole budget is
-truncated into its own batch, and an empty retrieval still produces
-one empty batch.
+system_tokens`` tokens, and a chunk larger than the whole budget is
+truncated into its own batch.
+
+Batchless cases are represented as ZERO output rows (the row-based
+contract has no "empty batch" row): an empty retrieval yields no rows,
+and a query whose own tokens (+system) exceed the budget yields no
+rows — callers that must distinguish "over-budget query" from "empty
+retrieval" should pre-check ``approx_tokens(query) + system_tokens >=
+context_size - RESERVED_TOKENS``. (The reference emits one
+``(query, [], n)`` sentinel batch for an empty retrieval,
+token_manager.py:221-316 — a list-based contract; the divergence is
+deliberate and documented here.)
 
 Spark shape: the packer is inherently sequential PER QUERY (batch
 boundaries depend on the running total), so it runs as

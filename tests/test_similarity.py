@@ -128,3 +128,16 @@ def test_ivf_persisted_index_prunes_partitions(spark, emb_df, vecs, tmp_path):
     assert "cluster" in plan and ("PartitionFilters" in plan or "partition" in plan.lower())
     rows = pruned.collect()
     assert 0 < len(rows) <= 5
+
+
+def test_pairwise_topk_global_routes_to_blocked(spark, emb_df, vecs):
+    """block_col=None must route through the block-pair decomposition
+    (VERDICT r2: the single-task global matrix path was an exported
+    footgun) and still produce the exact global kNN."""
+    from graphrag_spark.similarity import pairwise_topk, pairwise_topk_blocked
+
+    a = pairwise_topk(emb_df, k=3, threshold=0.0, block_col=None)
+    b = pairwise_topk_blocked(emb_df, k=3, threshold=0.0, block_rows=8)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
