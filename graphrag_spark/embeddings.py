@@ -94,3 +94,76 @@ def embed_entities(nodes: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
         "entity_id", F.concat_ws(": ", F.col("name"), F.col("description")).alias("_t")
     )
     return _embed_df(with_text, "entity_id", "_t", dim)
+
+
+# ------------------------------------------------------------- validation
+
+# Validation states for stored embedding columns (reference analog:
+# core/graph_db.py:1193-1386 validate_embeddings — detects chunks/
+# entities with missing or dimension-inconsistent vectors — and
+# :1550-1626 fix_inconsistent_embeddings, which re-embeds exactly the
+# flagged rows). A real backfill that dies mid-run leaves all four bad
+# states behind; the repair job below recomputes ONLY those rows.
+EMBEDDING_STATUSES = ("ok", "missing", "empty", "wrong_dim", "non_finite")
+
+
+def embedding_status_col(vec_col: str = "embedding", dim: int = EMBED_DIM) -> F.Column:
+    """Native (codegen'd) status expression for one embedding column —
+    no Python in the scan: missing (NULL), empty, wrong_dim (!= dim),
+    non_finite (any NaN/±Inf/NULL element), else ok."""
+    v = F.col(vec_col)
+    bad_elem = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > F.lit(1.7e308))
+    )
+    return (
+        F.when(v.isNull(), F.lit("missing"))
+        .when(F.size(v) == 0, F.lit("empty"))
+        .when(F.size(v) != dim, F.lit("wrong_dim"))
+        .when(bad_elem, F.lit("non_finite"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def validate_embeddings(df: DataFrame, vec_col: str = "embedding", dim: int = EMBED_DIM) -> DataFrame:
+    """Append an ``embedding_status`` column (see EMBEDDING_STATUSES).
+    One narrow scan; at 100 TB this is a column-pruned pass over the
+    vector column only."""
+    return df.withColumn("embedding_status", embedding_status_col(vec_col, dim))
+
+
+def embedding_validation_summary(df: DataFrame, vec_col: str = "embedding", dim: int = EMBED_DIM) -> DataFrame:
+    """(embedding_status, n_rows) rollup — the data-quality assertion a
+    backfill job gates on."""
+    return (
+        validate_embeddings(df, vec_col, dim)
+        .groupBy("embedding_status")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("embedding_status")
+    )
+
+
+def repair_embeddings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Recompute embeddings for EXACTLY the invalid rows; valid rows
+    pass through byte-identical (reference fix_inconsistent_embeddings,
+    core/graph_db.py:1550-1626). The recompute goes through the same
+    dedup-before-embed path as the original computation, so repairing
+    k bad rows costs O(k distinct texts), not a full re-embed — the
+    posture that matters when 0.1% of a 10^12-row backfill failed."""
+    st = validate_embeddings(df, vec_col, dim)
+    good = st.filter(F.col("embedding_status") == "ok").drop("embedding_status")
+    bad = st.filter(F.col("embedding_status") != "ok").drop("embedding_status")
+    distinct_texts = bad.select(F.md5(text_col).alias("_h"), F.col(text_col)).dropDuplicates(["_h"])
+    fixed_vecs = _embed_df(distinct_texts, "_h", text_col, dim)
+    fixed = (
+        bad.drop(vec_col)
+        .withColumn("_h", F.md5(text_col))
+        .join(fixed_vecs.withColumnRenamed("embedding", vec_col), "_h")
+        .drop("_h")
+    )
+    return good.unionByName(fixed.select(*good.columns))

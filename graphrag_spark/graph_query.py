@@ -463,7 +463,16 @@ def hybrid_retrieval(
 def fulltext_search(chunks: DataFrame, query: str, top_k: int = 10) -> DataFrame:
     """T7 (core/graph_db.py:1084-1110): term-frequency ranked chunk
     search. Each query term is counted with regexp_count (word
-    boundaries); score = sum of term frequencies, length-normalized."""
+    boundaries); score = sum of term frequencies, length-normalized.
+
+    TEST-SCALE PATH: this is a full corpus scan PER QUERY — fine as a
+    one-off batch filter, a scale-killer as a query serving path (at
+    100 TB every search re-reads every chunk). The scale-safe shape is
+    the materialized inverted index below (``build_fulltext_postings``
+    once per corpus + ``fulltext_search_indexed`` per query, touching
+    only the queried terms' posting lists) — the Spark analog of the
+    reference's Neo4j fulltext INDEX (core/graph_db.py:1084-1110 runs
+    against ``chunk_fulltext``, an index, not a scan)."""
     terms = [t.lower() for t in query.split() if t.strip()]
     score = F.lit(0.0)
     for t in terms:
@@ -475,6 +484,64 @@ def fulltext_search(chunks: DataFrame, query: str, top_k: int = 10) -> DataFrame
         (score / F.greatest(F.length("content"), F.lit(1)) * 1000).alias("raw"),
     ).withColumn("score", F.round("raw", 6)).drop("raw")
     return scored.filter(F.col("score") > 0).orderBy(F.desc("score"), "chunk_id").limit(top_k)
+
+
+def build_fulltext_postings(chunks: DataFrame, text_col: str = "content") -> DataFrame:
+    """T7 at scale — materialize the inverted index ONCE per corpus:
+    (term, chunk_id, doc_id, chunk_len, tf). Tokenization is the native
+    lower+split on non-word chars ([^a-z0-9_]+ — the complement of the
+    regex ``\\w`` class ``fulltext_search`` bounds terms with, so for
+    word-shaped terms both paths count identical occurrences); tf
+    aggregates with map-side partial combine.
+
+    Storage guidance (the part that makes queries index-shaped): write
+    ``.repartition("term").sortWithinPartitions("term").write.
+    partitionBy(<term-prefix bucket>)`` or bucketBy(term) on a real
+    catalog — each query then reads only its terms' posting lists
+    instead of the corpus. Index size is O(total tokens), built with
+    one shuffle."""
+    toks = chunks.select(
+        "chunk_id",
+        "doc_id",
+        F.length(text_col).alias("chunk_len"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy("term", "chunk_id", "doc_id", "chunk_len").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def fulltext_search_indexed(postings: DataFrame, query: str, top_k: int = 10) -> DataFrame:
+    """Index-backed T7: same scoring as ``fulltext_search`` (sum of
+    per-term frequencies — query-term multiplicity included — divided
+    by chunk length, x1000, rounded), but the only data touched is the
+    queried terms' posting lists (broadcast semi-join on a handful of
+    terms -> partition-/file-pruned scan when the postings table is
+    laid out by term). Terms must be word-shaped (``\\w``) — the
+    tokenizer cannot represent terms containing separators; the scan
+    path handles arbitrary strings at test scale."""
+    from collections import Counter
+
+    spark = postings.sparkSession
+    terms = Counter(t.lower() for t in query.split() if t.strip())
+    tdf = spark.createDataFrame(
+        [(t, float(m)) for t, m in sorted(terms.items())], "term string, mult double"
+    )
+    return (
+        postings.join(F.broadcast(tdf), "term")
+        .groupBy("chunk_id", "doc_id", "chunk_len")
+        .agg(F.sum(F.col("tf") * F.col("mult")).alias("hits"))
+        .select(
+            "chunk_id",
+            "doc_id",
+            F.round(
+                F.col("hits") / F.greatest(F.col("chunk_len"), F.lit(1)) * 1000, 6
+            ).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "chunk_id")
+        .limit(top_k)
+    )
 
 
 def top_entities(nodes: DataFrame, k: int = 10) -> DataFrame:

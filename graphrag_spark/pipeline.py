@@ -92,11 +92,12 @@ class KGPipeline:
     chunk_overlap: int = chunking.CHUNK_OVERLAP
     salt_buckets: int = linking.SALT_BUCKETS
     buckets: int = 32
-    # Iceberg seam: set to e.g. "local.kg" on a cluster with an Iceberg
-    # catalog configured to write snapshot-committing tables
-    # ("<prefix>.<stage>") instead of raw parquet dirs. Not exercisable
-    # in this sandbox (no Iceberg runtime jar, no network) — parquet is
-    # the tested default; see materialize.write_table.
+    # Catalog seam: set to e.g. "local.kg" (Iceberg catalog on a real
+    # cluster — snapshot-committing V2 writes) or "<db>" on the built-in
+    # session catalog (saveAsTable fallback, tested by
+    # tests/test_pipeline_pr.py) to write stage tables
+    # ("<prefix>.<stage>") instead of raw parquet dirs; see
+    # materialize.write_table.
     iceberg_prefix: str | None = None
     stage_times: dict[str, float] = field(default_factory=dict)
 

@@ -42,6 +42,13 @@ def get_spark(
         # destroys scaling
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # session-catalog tables (the tested non-Iceberg catalog backend,
+        # materialize.write_table) live under a scratch warehouse, not
+        # the repo checkout
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/graphrag_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -223,22 +223,19 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
-def lsh_bucket_pairs(
+def lsh_candidate_pairs(
     embeddings: DataFrame,
     bands: int = 8,
     rows_per_band: int = 8,
-    threshold: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN near-pair candidates via sign-random-projection LSH.
-
-    Signature = sign bits of (bands*rows_per_band) random hyperplane
-    projections; items sharing any full band bucket become candidates;
-    candidates are verified with exact cosine. Shuffle volume is
-    O(n * bands). This is the 100 TB path for embedding near-dup /
-    similarity-edge construction.
-    """
+    """The DETERMINISTIC candidate stage of sign-random-projection LSH:
+    (src, dst) pairs sharing at least one full band bucket (seeded
+    hyperplanes — the same input always yields the same candidate set,
+    which is what the driver oracle brute-force-verifies). Exposed
+    separately so callers/oracles can check the exact-cosine
+    verification independently of the probabilistic recall."""
     n_planes = bands * rows_per_band
     first = embeddings.select(vec_col).first()
     dim = len(first[0])
@@ -274,20 +271,56 @@ def lsh_bucket_pairs(
 
     left = sigs.select(F.col("band"), F.col("bucket"), F.col("id").alias("src"))
     right = sigs.select(F.col("band"), F.col("bucket"), F.col("id").alias("dst"))
-    candidates = (
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
+
+
+def verify_candidates_cosine(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verification of (src, dst) candidate pairs: joins
+    each side's vector once onto the deduplicated candidates (native
+    zip_with scoring, no Python), filters at the threshold."""
     e = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    verified = (
+    return (
         candidates.join(e.withColumnRenamed(id_col, "src").withColumnRenamed("v", "va"), "src")
         .join(e.withColumnRenamed(id_col, "dst").withColumnRenamed("v", "vb"), "dst")
         .select("src", "dst", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("similarity"))
         .filter(F.col("similarity") >= threshold)
     )
-    return verified
+
+
+def lsh_bucket_pairs(
+    embeddings: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN near-pair search via sign-random-projection LSH.
+
+    Signature = sign bits of (bands*rows_per_band) random hyperplane
+    projections; items sharing any full band bucket become candidates
+    (``lsh_candidate_pairs``); candidates are verified with exact
+    cosine (``verify_candidates_cosine``). Shuffle volume is
+    O(n * bands). This is the 100 TB path for embedding near-dup /
+    similarity-edge construction.
+    """
+    candidates = lsh_candidate_pairs(
+        embeddings, bands=bands, rows_per_band=rows_per_band, id_col=id_col, vec_col=vec_col
+    )
+    return verify_candidates_cosine(
+        candidates, embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
 
 
 def train_ivf_centroids(

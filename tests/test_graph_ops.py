@@ -252,3 +252,26 @@ def test_hybrid_retrieval_end_to_end(kg):
     # an analytical relationship query recommends multi-hop -> some
     # non-chunk source must appear
     assert sources - {"chunk_based"}, sources
+
+
+def test_fulltext_indexed_matches_scan(kg):
+    """The materialized inverted index must rank exactly like the
+    scan path for word-shaped queries (incl. duplicate query terms,
+    which double-count in both)."""
+    postings = graph_query.build_fulltext_postings(kg["chunks"])
+    for q in ("partnership rollout", "partnership partnership", "the merge"):
+        scan = graph_query.fulltext_search(kg["chunks"], q, top_k=10).collect()
+        idx = graph_query.fulltext_search_indexed(postings, q, top_k=10).collect()
+        assert [tuple(r) for r in scan] == [tuple(r) for r in idx], q
+
+
+def test_fulltext_indexed_touches_only_query_terms(kg):
+    """Plan shape: the indexed path joins a broadcast term list — the
+    per-query work is a semi-join on the queried terms, not a regexp
+    scan of every chunk's content."""
+    postings = graph_query.build_fulltext_postings(kg["chunks"])
+    plan = (
+        graph_query.fulltext_search_indexed(postings, "partnership", top_k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

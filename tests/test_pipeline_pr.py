@@ -170,3 +170,32 @@ def test_non_broadcast_map_path_identical(spark, corpus_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert with_bc == without_bc
+
+
+def test_catalog_backend_pipeline_and_resume(spark, corpus_path, tmp_path_factory):
+    """The catalog seam, exercised end to end on the built-in session
+    catalog (saveAsTable fallback of materialize.write_table): same
+    triples as the parquet path, stage tables in the catalog, and a
+    rerun skips every committed stage."""
+    wd = str(tmp_path_factory.mktemp("work_cat"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS kgcat")
+    try:
+        p = KGPipeline(spark, corpus_path, wd, iceberg_prefix="kgcat")
+        out = p.run()
+        assert spark.catalog.tableExists("kgcat.triples")
+        assert spark.catalog.tableExists("kgcat.nodes")
+        n_triples = out["triples"].count()
+        assert n_triples > 0
+        # table-backed resume: all stages skipped, identical table
+        p2 = KGPipeline(spark, corpus_path, wd, iceberg_prefix="kgcat")
+        out2 = p2.run()
+        assert p2.stage_times == {}
+        assert out2["triples"].count() == n_triples
+        # parity with the parquet path
+        wd_pq = str(tmp_path_factory.mktemp("work_pq"))
+        out_pq = KGPipeline(spark, corpus_path, wd_pq).run()
+        t_cat = {tuple(r) for r in out["triples"].select("subj", "pred", "obj").collect()}
+        t_pq = {tuple(r) for r in out_pq["triples"].select("subj", "pred", "obj").collect()}
+        assert t_cat == t_pq
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS kgcat CASCADE")
