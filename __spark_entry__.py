@@ -12,11 +12,17 @@ operator from those files (e.g. the full triple materialization from
 rels_norm + cmap, brute-force pair search vs the banded MinHash/SimHash
 candidates — a 100%-recall check, not a row count).
 
-Rows-only (no oracle, weaker check) remains only
-``lsh_embedding_dups``: sign-random-projection LSH is probabilistic by
-design — its recall is property-tested in tests/test_dedup.py instead.
-Even the iterative operators (beam search, decay expansion) are
-oracle-checked via bounded-hop SQL unrolling.
+Every queries() entry has an oracle_sql() twin — including
+``lsh_embedding_dups`` (the deterministic SRP candidate pairs are
+exported and DuckDB recomputes the exact-cosine verification; the
+banding's probabilistic recall is property-tested in
+tests/test_dedup.py) and the iterative operators (beam search, decay
+expansion, full hybrid retrieval), which are oracle-checked via
+bounded-hop SQL unrolling. queries() holds EXACTLY 50 entries — the
+driver records at most 50 CORRECTNESS rows (r2 artifact: first 50 of
+52 in order) — so small single-shape queries are merged into tagged
+unions (join_filters, set_ops, orders_rollups, text_stats) that keep
+full value-hash coverage of each shape within the cap.
 """
 
 from __future__ import annotations
@@ -458,6 +464,82 @@ def _q_events_user_topk(spark, sf_dir):
     )
 
 
+def _q_join_filters(spark, sf_dir):
+    """Semi-join (left_semi on part size) + anti-join (left_anti on big
+    orders) shapes in ONE tagged frame — two former driver slots
+    merged (the driver caps CORRECTNESS at 50 query rows; the hash
+    still covers both results in full)."""
+    semi = _q_semijoin_parts(spark, sf_dir).select(
+        F.lit("semi").alias("side"),
+        F.col("l_returnflag").alias("key"),
+        F.col("n_items").alias("n"),
+        F.col("total_price").alias("amount"),
+    )
+    anti = _q_antijoin_customers(spark, sf_dir).select(
+        F.lit("anti").alias("side"),
+        F.col("n_name").alias("key"),
+        F.col("n_inactive").alias("n"),
+        F.lit(0.0).alias("amount"),
+    )
+    return semi.unionByName(anti).orderBy("side", "key")
+
+
+def _q_set_ops(spark, sf_dir):
+    """Union-then-aggregate + explode-distinct shapes, tagged union
+    (two former slots merged; see _q_join_filters)."""
+    u = _q_union_accounts(spark, sf_dir).select(
+        F.lit("union_agg").alias("side"),
+        F.col("nationkey").cast("string").alias("key"),
+        F.col("n_accounts").alias("n"),
+        F.col("total_bal").alias("amount"),
+    )
+    d = _q_distinct_words(spark, sf_dir).select(
+        F.lit("distinct").alias("side"),
+        F.col("word").alias("key"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("amount"),
+    )
+    return u.unionByName(d).orderBy("side", "key")
+
+
+def _q_orders_rollups(spark, sf_dir):
+    """Status rollup + month-truncated time rollup over orders, tagged
+    union (two former slots merged; see _q_join_filters)."""
+    s = _q_order_status_stats(spark, sf_dir).select(
+        F.lit("status").alias("side"),
+        F.col("o_orderstatus").alias("key"),
+        F.col("n_orders"),
+        F.col("n_customers").alias("n_distinct"),
+        F.col("total").alias("amount"),
+    )
+    m = _q_monthly_orders(spark, sf_dir).select(
+        F.lit("month").alias("side"),
+        F.col("month").alias("key"),
+        F.col("n_orders"),
+        F.lit(0).cast("long").alias("n_distinct"),
+        F.col("revenue").alias("amount"),
+    )
+    return s.unionByName(m).orderBy("side", "key")
+
+
+def _q_text_stats(spark, sf_dir):
+    """Token counting (ws + BPE-ish) and language-ID rollups, tagged
+    union (two former slots merged; see _q_join_filters)."""
+    t = _q_token_counts(spark, sf_dir).select(
+        F.lit("tokens").alias("side"),
+        F.col("lang").alias("key"),
+        F.col("tokens_ws").alias("a"),
+        F.col("tokens_bpe").alias("b"),
+    )
+    l = _q_lang_id(spark, sf_dir).select(
+        F.lit("langid").alias("side"),
+        F.col("lang_detected").alias("key"),
+        F.col("n_docs").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    return t.unionByName(l).orderBy("side", "key")
+
+
 def _q_fulltext_docs(spark, sf_dir):
     """T7 analog with a DuckDB oracle: term-frequency ranked documents."""
     d = _t(spark, sf_dir, "documents")
@@ -510,10 +592,33 @@ def _q_kg_chunk_sim_edges(spark, sf_dir):
 
 
 def _q_kg_entity_sim_edges(spark, sf_dir):
+    """J2 through BOTH branches, tagged: 'exact' = block-pair exact kNN
+    (oracle: brute-force window top-k SQL over the exported nodes);
+    'lsh' = the corpus-scale SRP-LSH + exact-verify branch, forced via
+    exact_max_rows=0 (oracle: the deterministic candidate pairs are
+    exported and the SQL recomputes verify -> symmetrize -> window
+    top-k from them)."""
     from graphrag_spark import graph_ops
+    from graphrag_spark.similarity import lsh_candidate_pairs
 
     kg = _kg(spark, sf_dir)
-    return graph_ops.entity_similarity_edges(kg["nodes"], threshold=0.5, k=3)
+    exact = graph_ops.entity_similarity_edges(kg["nodes"], threshold=0.5, k=3)
+    # export the banding's candidate set (seeded hyperplanes -> same
+    # pairs the lsh branch forms internally) for the DuckDB twin
+    _export(
+        lsh_candidate_pairs(
+            kg["nodes"].select("entity_id", "embedding"), id_col="entity_id"
+        ),
+        sf_dir,
+        "entity_lsh_cands",
+    )
+    lsh = graph_ops.entity_similarity_edges(
+        kg["nodes"], threshold=0.5, k=3, exact_max_rows=0
+    )
+    return (
+        exact.select(F.lit("exact").alias("path"), "src", "dst", "similarity")
+        .unionByName(lsh.select(F.lit("lsh").alias("path"), "src", "dst", "similarity"))
+    )
 
 
 def _kg_seeds(triples: DataFrame) -> list[str]:
@@ -659,10 +764,20 @@ def _q_kg_delete_cascade(spark, sf_dir):
 
 
 def _q_kg_fulltext(spark, sf_dir):
+    """T7 through BOTH paths, tagged: 'scan' = per-query regexp scan
+    (test-scale), 'indexed' = the materialized inverted index (the
+    100 TB serving shape). Both must agree with the independent SQL
+    recompute — one oracle SELECT cross-tagged twice."""
     from graphrag_spark import graph_query
 
     kg = _kg(spark, sf_dir)
-    return graph_query.fulltext_search(kg["chunks"], "partnership rollout", top_k=10)
+    scan = graph_query.fulltext_search(kg["chunks"], "partnership rollout", top_k=10)
+    postings = graph_query.build_fulltext_postings(kg["chunks"])
+    idx = graph_query.fulltext_search_indexed(postings, "partnership rollout", top_k=10)
+    return (
+        scan.select(F.lit("scan").alias("path"), "chunk_id", "doc_id", "score")
+        .unionByName(idx.select(F.lit("indexed").alias("path"), "chunk_id", "doc_id", "score"))
+    )
 
 
 def _q_ivf_ann(spark, sf_dir):
@@ -761,8 +876,69 @@ def _q_ngram_jaccard_dups(spark, sf_dir):
 
 
 def _q_lsh_embedding_dups(spark, sf_dir):
+    """Embedding near-dup via SRP-LSH. The banding's candidate pairs
+    (deterministic — seeded hyperplanes) are exported; the oracle
+    recomputes the exact-cosine verification over them in DuckDB, the
+    same full-check-of-the-deterministic-part protocol as minhash/
+    simhash (r2 VERDICT: stop accepting 'probabilistic by design')."""
+    from graphrag_spark.similarity import lsh_candidate_pairs, verify_candidates_cosine
+
     e = _t(spark, sf_dir, "embeddings")
-    return gdedup.embedding_near_dups(e, threshold=0.35).orderBy("src", "dst")
+    cand = _export(lsh_candidate_pairs(e), sf_dir, "lsh_emb_cands")
+    return verify_candidates_cosine(cand, e, threshold=0.35).orderBy("src", "dst")
+
+
+def _q_embedding_validation(spark, sf_dir):
+    """Embedding validation + repair (reference core/graph_db.py:
+    1193-1386, 1550-1626): embed the documents, deterministically
+    corrupt doc_id%7∈{0,1,2} (missing/empty/wrong_dim), then report
+    the status rollup BEFORE and AFTER the repair job. The oracle
+    derives both phases from the corruption rule in SQL."""
+    from graphrag_spark.embeddings import (
+        _embed_df,
+        embedding_validation_summary,
+        repair_embeddings,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.join(_embed_df(d, "doc_id", "text", 64), "doc_id")
+    r = (F.col("doc_id") % 7).cast("int")
+    corrupt = base.withColumn(
+        "embedding",
+        F.when(r == 0, F.lit(None).cast("array<double>"))
+        .when(r == 1, F.array().cast("array<double>"))
+        .when(r == 2, F.slice("embedding", 1, 10))
+        .otherwise(F.col("embedding")),
+    )
+    before = embedding_validation_summary(corrupt).select(
+        F.lit("before").alias("phase"), "embedding_status", "n_rows"
+    )
+    after = embedding_validation_summary(
+        repair_embeddings(corrupt, "doc_id", "text")
+    ).select(F.lit("after").alias("phase"), "embedding_status", "n_rows")
+    return before.unionByName(after).orderBy("phase", "embedding_status")
+
+
+def _q_kg_hybrid_retrieval(spark, sf_dir):
+    """The FULL hybrid retrieval (rag/retriever.py:600-800) end to end:
+    query analysis -> slot split (factual/simple: chunks 6, entities 4,
+    paths 0) -> vector side + decay-expansion entity side -> boost
+    merge -> top-10. The query vector (encoder boundary) is exported;
+    everything downstream — seeding, 2-hop decay expansion with the
+    early-stop rule, per-side budgets, merge formula — is recomputed
+    by the oracle in SQL from the exported KG tables."""
+    from graphrag_spark import graph_query
+    from graphrag_spark.embeddings import embed_texts_np
+
+    kg = _kg(spark, sf_dir)
+    qtext = "what is partnership"
+    qvec = [float(x) for x in embed_texts_np([qtext])[0]]
+    _export(
+        spark.createDataFrame([(qvec,)], "qv array<double>"), sf_dir, "hyq_vec"
+    )
+    return graph_query.hybrid_retrieval(
+        kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], qtext, top_k=10
+    )
 
 
 def _q_media_features(spark, sf_dir):
@@ -781,19 +957,22 @@ def _q_media_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries: the driver records at most 50 CORRECTNESS
+    # rows (r2 artifact = first 50 of 52, in order — the last two never
+    # appeared). Small single-shape queries are merged into tagged
+    # unions (join_filters, set_ops, orders_rollups, text_stats) so
+    # every operator shape keeps full value-hash coverage within the
+    # cap; every entry below has an oracle_sql() twin.
     return {
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "per_customer_topk": _q_per_customer_topk,
         "region_rollup": _q_region_rollup,
         "customer_order_rollup": _q_customer_order_rollup,
-        "distinct_words": _q_distinct_words,
         "entity_ids": _q_entity_ids,
-        "order_status_stats": _q_order_status_stats,
-        "monthly_orders": _q_monthly_orders,
+        "orders_rollups": _q_orders_rollups,
         "quality_bands": _q_quality_bands,
-        "token_counts": _q_token_counts,
-        "lang_id": _q_lang_id,
+        "text_stats": _q_text_stats,
         "fingerprints": _q_fingerprints,
         "doc_summary_fields": _q_doc_summary_fields,
         "query_routing": _q_query_routing,
@@ -802,13 +981,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "knn_edges": _q_knn_edges,
         "label_clusters": _q_label_clusters,
-        "semijoin_parts": _q_semijoin_parts,
-        "antijoin_customers": _q_antijoin_customers,
-        "union_accounts": _q_union_accounts,
+        "join_filters": _q_join_filters,
+        "set_ops": _q_set_ops,
         "events_stats": _q_events_stats,
         "events_user_topk": _q_events_user_topk,
         "fulltext_docs": _q_fulltext_docs,
-        # rows-only (non-SQL-expressible: KG pipeline, sketches, media)
+        "embedding_validation": _q_embedding_validation,
+        "lsh_embedding_dups": _q_lsh_embedding_dups,
+        "media_features": _q_media_features,
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_nodes,
         "kg_graph_stats": _q_kg_graph_stats,
@@ -821,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_decay_expansion": _q_kg_decay_expansion,
         "kg_vector_search": _q_kg_vector_search,
         "kg_hybrid_merge": _q_kg_hybrid_merge,
+        "kg_hybrid_retrieval": _q_kg_hybrid_retrieval,
         "kg_doc_entity_rollup": _q_kg_doc_entity_rollup,
         "kg_chunks_in_order": _q_kg_chunks_in_order,
         "kg_post_filter": _q_kg_post_filter,
@@ -833,8 +1014,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash128_near_dups": _q_simhash128_near_dups,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "document_profile": _q_document_profile,
-        "lsh_embedding_dups": _q_lsh_embedding_dups,
-        "media_features": _q_media_features,
     }
 
 
@@ -897,19 +1076,18 @@ def _p(name: str) -> str:
 
 # G6 strength-decay expansion, 2-hop unrolled (deterministic frontier
 # cap by (score desc, name); decay factors multiplied in DOUBLE to match
-# Python's 0.7**d). Produces relation `decay_final(name, score)`.
-_DECAY_CTES = f"""
+# Python's 0.7**d), parameterized by the seeds relation. Produces
+# `decay_final(name, score)`, including the reference's early-stop rule
+# (expansion halts after a hop once the scored set exceeds
+# 3*max_entity_connections = 60 entities, retriever.py:330-344).
+def _decay_ctes(seeds_sql: str) -> str:
+    return f"""
     edges AS (
         SELECT subj AS src, obj AS dst, strength FROM {_p("kg_triples")}
         UNION ALL
         SELECT obj AS src, subj AS dst, strength FROM {_p("kg_triples")}
     ),
-    seeds AS (
-        SELECT subj AS name, CAST(1.0 AS DOUBLE) AS score FROM (
-            SELECT subj, max(strength) AS ms FROM {_p("kg_triples")}
-            GROUP BY subj ORDER BY ms DESC, subj LIMIT 2
-        )
-    ),
+    seeds AS ({seeds_sql}),
     f0 AS (SELECT name FROM seeds ORDER BY score DESC, name LIMIT 20),
     r1 AS (
         SELECT dst, strength FROM (
@@ -944,12 +1122,51 @@ _DECAY_CTES = f"""
                max(strength) * (CAST(0.7 AS DOUBLE) * CAST(0.7 AS DOUBLE)) AS cand
         FROM r2 GROUP BY dst
     ),
+    merged2 AS (
+        SELECT coalesce(s.name, c.name) AS name,
+               greatest(coalesce(s.score, 0.0), coalesce(c.cand, 0.0)) AS score
+        FROM s1 s FULL OUTER JOIN c2 c ON s.name = c.name
+    ),
     decay_final AS (
         SELECT name, round(score, 6) AS score FROM (
-            SELECT coalesce(s.name, c.name) AS name,
-                   greatest(coalesce(s.score, 0.0), coalesce(c.cand, 0.0)) AS score
-            FROM s1 s FULL OUTER JOIN c2 c ON s.name = c.name
+            SELECT name, score FROM merged2
+            WHERE NOT (SELECT count(*) > 60 FROM s1)
+            UNION ALL
+            SELECT name, score FROM s1
+            WHERE (SELECT count(*) > 60 FROM s1)
         ) ORDER BY score DESC, name LIMIT 40
+    )
+"""
+
+
+_DECAY_CTES = _decay_ctes(
+    f"""
+        SELECT subj AS name, CAST(1.0 AS DOUBLE) AS score FROM (
+            SELECT subj, max(strength) AS ms FROM {_p("kg_triples")}
+            GROUP BY subj ORDER BY ms DESC, subj LIMIT 2
+        )
+    """
+)
+
+# hybrid retrieval: the exported query vector, and the reference's
+# hybrid seeding (top-5 entities by importance among those mentioned in
+# the query's vector-top-10 chunks, retriever.py:600-686)
+_HYQ = f"(SELECT qv FROM {_p('hyq_vec')})"
+
+_HYBRID_SEEDS_SQL = f"""
+    SELECT name, CAST(1.0 AS DOUBLE) AS score FROM (
+        SELECT n.name, max(n.importance) AS imp
+        FROM {_p("kg_mentions")} m
+        JOIN {_p("kg_nodes")} n ON m.entity_id = n.entity_id
+        WHERE m.chunk_id IN (
+            SELECT chunk_id FROM (
+                SELECT c.chunk_id,
+                       round(list_cosine_similarity(c.embedding, {_HYQ}), 6) AS s
+                FROM {_p("kg_chunks")} c
+            ) ORDER BY s DESC, chunk_id LIMIT 10
+        )
+        GROUP BY n.name
+        ORDER BY imp DESC, n.name LIMIT 5
     )
 """
 
@@ -1008,24 +1225,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_spend
             FROM orders GROUP BY o_custkey
         """,
-        "distinct_words": """
-            SELECT DISTINCT word FROM (
-                SELECT unnest(string_split(text, ' ')) AS word FROM documents
-            ) WHERE length(word) >= 6 ORDER BY word LIMIT 100
-        """,
         "entity_ids": """
             SELECT doc_id, substring(md5(lower(text)), 1, 16) AS entity_id FROM documents
         """,
-        "order_status_stats": """
-            SELECT o_orderstatus, count(*) AS n_orders,
-                   count(DISTINCT o_custkey) AS n_customers,
-                   round(sum(o_totalprice), 2) AS total
-            FROM orders GROUP BY 1 ORDER BY 1
-        """,
-        "monthly_orders": """
-            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
-                   count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-            FROM orders GROUP BY 1 ORDER BY 1
+        "orders_rollups": """
+            SELECT 'status' AS side, o_orderstatus AS key,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS amount
+            FROM orders GROUP BY 2
+            UNION ALL
+            SELECT 'month', strftime(date_trunc('month', o_orderdate), '%Y-%m-%d'),
+                   CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(round(sum(o_totalprice), 2) AS DOUBLE)
+            FROM orders GROUP BY 2
+            ORDER BY side, key
         """,
         "quality_bands": f"""
             SELECT band, centile, count(*) AS n_docs FROM (
@@ -1036,14 +1250,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT round(({_QUALITY_PENALIZED}), 6) AS q FROM documents)
             ) GROUP BY band, centile ORDER BY band, centile
         """,
-        "token_counts": """
-            SELECT lang,
-                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens_ws,
-                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens_bpe
-            FROM documents GROUP BY lang ORDER BY lang
-        """,
-        "lang_id": f"""
-            SELECT lang_detected, count(*) AS n_docs FROM (
+        "text_stats": f"""
+            SELECT 'tokens' AS side, lang AS key,
+                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS a,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS b
+            FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'langid', lang_detected, CAST(count(*) AS BIGINT),
+                   CAST(0 AS BIGINT) FROM (
                 SELECT CASE
                     WHEN greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']}) = 0 THEN 'und'
                     WHEN {hits['de']} = greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']}) THEN 'de'
@@ -1051,7 +1265,8 @@ def oracle_sql() -> dict[str, str]:
                     WHEN {hits['es']} = greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']}) THEN 'es'
                     ELSE 'fr' END AS lang_detected
                 FROM documents
-            ) GROUP BY 1 ORDER BY 1
+            ) GROUP BY 1, 2
+            ORDER BY side, key
         """,
         "fingerprints": """
             SELECT doc_id,
@@ -1283,29 +1498,38 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 6) AS avg_norm
             FROM embeddings GROUP BY label ORDER BY label
         """,
-        "semijoin_parts": """
-            SELECT l_returnflag, count(*) AS n_items,
-                   round(sum(l_extendedprice), 2) AS total_price
+        "join_filters": """
+            SELECT 'semi' AS side, l_returnflag AS key,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS amount
             FROM lineitem
             WHERE EXISTS (SELECT 1 FROM part
                           WHERE p_partkey = l_partkey AND p_size >= 40)
-            GROUP BY 1 ORDER BY 1
-        """,
-        "antijoin_customers": """
-            SELECT n_name, count(*) AS n_inactive
+            GROUP BY 2
+            UNION ALL
+            SELECT 'anti', n_name, CAST(count(*) AS BIGINT), CAST(0.0 AS DOUBLE)
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-            GROUP BY 1 ORDER BY 1
+            GROUP BY 2
+            ORDER BY side, key
         """,
-        "union_accounts": """
-            SELECT nationkey, count(DISTINCT acct_id) AS n_accounts,
-                   round(sum(acctbal), 2) AS total_bal
+        "set_ops": """
+            SELECT 'union_agg' AS side, CAST(nationkey AS VARCHAR) AS key,
+                   CAST(count(DISTINCT acct_id) AS BIGINT) AS n,
+                   CAST(round(sum(acctbal), 2) AS DOUBLE) AS amount
             FROM (
                 SELECT 'c' || c_custkey AS acct_id, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
                 UNION ALL
                 SELECT 's' || s_suppkey, s_nationkey, s_acctbal FROM supplier
-            ) GROUP BY 1 ORDER BY 1
+            ) GROUP BY 2
+            UNION ALL
+            SELECT 'distinct', word, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) FROM (
+                SELECT DISTINCT word FROM (
+                    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+                ) WHERE length(word) >= 6 ORDER BY word LIMIT 100
+            )
+            ORDER BY side, key
         """,
         "events_stats": """
             SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value,
@@ -1402,8 +1626,24 @@ def oracle_sql() -> dict[str, str]:
                   ON a.doc_id = b.doc_id AND a.chunk_id <> b.chunk_id
             ) WHERE rk <= 3 AND similarity >= 0.5
         """,
+        # 'exact' = brute-force window top-k; 'lsh' = recompute of the
+        # verify -> symmetrize -> top-k stages from the exported
+        # deterministic SRP candidate pairs
         "kg_entity_sim_edges": f"""
-            SELECT src, dst, similarity FROM (
+            WITH vf AS (
+                SELECT c.src, c.dst,
+                       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS similarity
+                FROM {_p("entity_lsh_cands")} c
+                JOIN {_p("kg_nodes")} a ON a.entity_id = c.src
+                JOIN {_p("kg_nodes")} b ON b.entity_id = c.dst
+            ),
+            vt AS (SELECT * FROM vf WHERE similarity >= 0.5),
+            sym AS (
+                SELECT src, dst, similarity FROM vt
+                UNION ALL
+                SELECT dst, src, similarity FROM vt
+            )
+            SELECT 'exact' AS path, src, dst, similarity FROM (
                 SELECT a.entity_id AS src, b.entity_id AS dst,
                        round(list_cosine_similarity(a.embedding, b.embedding), 6) AS similarity,
                        row_number() OVER (PARTITION BY a.entity_id
@@ -1412,6 +1652,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM {_p("kg_nodes")} a
                 JOIN {_p("kg_nodes")} b ON a.entity_id <> b.entity_id
             ) WHERE rk <= 3 AND similarity >= 0.5
+            UNION ALL
+            SELECT 'lsh', src, dst, similarity FROM (
+                SELECT *, row_number() OVER (PARTITION BY src
+                           ORDER BY similarity DESC, dst) AS rk
+                FROM sym
+            ) WHERE rk <= 3
         """,
         "kg_beam_paths": f"""
             WITH edges AS (
@@ -1598,14 +1844,21 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM nodes3) AS n_nodes,
                    (SELECT count(*) FROM triples3) AS n_triples
         """,
+        # both engine paths (regexp scan AND inverted index) must match
+        # this one independent recompute — tagged twice
         "kg_fulltext": f"""
-            SELECT chunk_id, doc_id, score FROM (
-                SELECT chunk_id, doc_id,
-                       round((len(regexp_extract_all(content, '(?i)\\bpartnership\\b'))
-                            + len(regexp_extract_all(content, '(?i)\\brollout\\b')))
-                             * 1000.0 / greatest(length(content), 1), 6) AS score
-                FROM {_p("kg_chunks")}
-            ) WHERE score > 0 ORDER BY score DESC, chunk_id LIMIT 10
+            WITH ranked AS (
+                SELECT chunk_id, doc_id, score FROM (
+                    SELECT chunk_id, doc_id,
+                           round((len(regexp_extract_all(content, '(?i)\\bpartnership\\b'))
+                                + len(regexp_extract_all(content, '(?i)\\brollout\\b')))
+                                 * 1000.0 / greatest(length(content), 1), 6) AS score
+                    FROM {_p("kg_chunks")}
+                ) WHERE score > 0 ORDER BY score DESC, chunk_id LIMIT 10
+            )
+            SELECT 'scan' AS path, chunk_id, doc_id, score FROM ranked
+            UNION ALL
+            SELECT 'indexed', chunk_id, doc_id, score FROM ranked
         """,
         "chunk_stats": f"""
             SELECT doc_id, count(*) AS n_chunks,
@@ -1686,5 +1939,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + CAST('0x' || substr(sha256(media_ref), 3, 2) AS INT) * 4 AS INT) AS height,
                    CAST(32 AS INT) AS feature_dim
             FROM {_p("media_refs")}
+        """,
+        # exact-cosine verification of the exported deterministic SRP
+        # candidate pairs (the banding's recall itself is property-
+        # tested in tests/test_dedup.py; the verification stage is the
+        # deterministic contract checked here)
+        "lsh_embedding_dups": f"""
+            SELECT src, dst, similarity FROM (
+                SELECT c.src, c.dst,
+                       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS similarity
+                FROM {_p("lsh_emb_cands")} c
+                JOIN embeddings a ON a.vec_id = c.src
+                JOIN embeddings b ON b.vec_id = c.dst
+            ) WHERE similarity >= 0.35 ORDER BY src, dst
+        """,
+        # corruption rule: doc_id%7 = 0 -> missing, 1 -> empty,
+        # 2 -> wrong_dim, else ok; after repair every row is ok
+        "embedding_validation": """
+            WITH st AS (
+                SELECT CASE CAST(doc_id % 7 AS INT)
+                            WHEN 0 THEN 'missing'
+                            WHEN 1 THEN 'empty'
+                            WHEN 2 THEN 'wrong_dim'
+                            ELSE 'ok' END AS embedding_status
+                FROM documents
+            )
+            SELECT 'before' AS phase, embedding_status, count(*) AS n_rows
+            FROM st GROUP BY 2
+            UNION ALL
+            SELECT 'after', 'ok', count(*) FROM documents
+            ORDER BY phase, embedding_status
+        """,
+        "kg_hybrid_retrieval": f"""
+            WITH {_decay_ctes(_HYBRID_SEEDS_SQL)},
+            chunk_side AS (
+                SELECT chunk_id, similarity AS chunk_score FROM (
+                    SELECT c.chunk_id,
+                           round(list_cosine_similarity(c.embedding, {_HYQ}), 6) AS similarity
+                    FROM {_p("kg_chunks")} c
+                ) ORDER BY chunk_score DESC, chunk_id LIMIT 6
+            ),
+            ent_all AS (
+                SELECT m.chunk_id, max(d.score) AS sim
+                FROM {_p("kg_mentions")} m
+                JOIN {_p("kg_nodes")} n ON m.entity_id = n.entity_id
+                JOIN decay_final d ON n.name = d.name
+                GROUP BY m.chunk_id
+            ),
+            entity_side AS (
+                SELECT chunk_id, sim AS entity_score FROM ent_all
+                WHERE sim >= 0.1 ORDER BY sim DESC, chunk_id LIMIT 4
+            ),
+            merged AS (
+                SELECT coalesce(c.chunk_id, e.chunk_id) AS chunk_id,
+                       c.chunk_score, e.entity_score
+                FROM chunk_side c FULL OUTER JOIN entity_side e
+                  ON c.chunk_id = e.chunk_id
+            )
+            SELECT chunk_id,
+                   CASE WHEN chunk_score IS NOT NULL AND entity_score IS NOT NULL THEN 'hybrid'
+                        WHEN chunk_score IS NOT NULL THEN 'chunk_based'
+                        ELSE 'entity_based' END AS source,
+                   round(CASE
+                        WHEN chunk_score IS NOT NULL AND entity_score IS NOT NULL
+                            THEN least(1.0, (chunk_score + entity_score) * 0.8)
+                        WHEN chunk_score IS NOT NULL THEN chunk_score
+                        ELSE coalesce(entity_score, 0.3) END, 6) AS hybrid_score
+            FROM merged
+            ORDER BY hybrid_score DESC, chunk_id LIMIT 10
         """,
     }

@@ -34,15 +34,15 @@ BENCH_QUERIES = [
     "per_customer_topk",
     "region_rollup",
     "customer_order_rollup",
-    "semijoin_parts",
-    "union_accounts",
+    "join_filters",
+    "set_ops",
     "cosine_topk",
     "knn_edges",
-    "token_counts",
-    "lang_id",
+    "text_stats",
     "exact_dedup",
     "minhash_near_dups",
     "simhash_near_dups",
+    "lsh_embedding_dups",
     "media_features",
 ]
 
@@ -82,7 +82,23 @@ def run_kg_pipeline(spark, sf_dir: str, amplify: int = 1) -> tuple[float, int]:
     return wall, n_triples
 
 
-def bench_default(sf_dir: str, cpus: int) -> dict:
+def _calibrate(spark) -> float:
+    """Fixed JVM-side microbench: a machine-contention marker recorded
+    before and after the run (the sandbox shows bursty hypervisor steal
+    time; a drifting calibration flags a poisoned run)."""
+    t = time.time()
+    # xor-fold, not sum: ANSI mode overflows a LongType sum of hashes
+    spark.range(20_000_000).select(
+        F.sum(F.xxhash64("id").bitwiseAND(F.lit(0xFFFF)))
+    ).collect()
+    return round(time.time() - t, 3)
+
+
+def bench_default(sf_dir: str, cpus: int, timed_runs: int = 2) -> dict:
+    """Per-query protocol (r2 VERDICT bench-harness fix): one UNTIMED
+    warm-up execution per query (JIT/codegen/broadcast/oracle-export
+    warm), then best-of-``timed_runs``. ``value`` = kg_pipeline wall +
+    sum of per-query bests (warm-ups excluded)."""
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="graphrag-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16))
@@ -90,15 +106,28 @@ def bench_default(sf_dir: str, cpus: int) -> dict:
     queries = entrymod.queries()
     timings: dict[str, float] = {}
 
-    t0 = time.time()
+    # session warm-up: exercises codegen, shuffle, and Arrow paths once
+    _consume(
+        spark.range(1_000_000)
+        .select(F.xxhash64("id").alias("h"))
+        .groupBy((F.col("h") % 16).alias("b"))
+        .count()
+    )
+    calib_before = _calibrate(spark)
+
     kg_wall, n_triples = run_kg_pipeline(spark, sf_dir)
     timings["kg_pipeline"] = round(kg_wall, 3)
 
     for name in BENCH_QUERIES:
-        t = time.time()
-        _consume(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t, 3)
-    total = round(time.time() - t0, 3)
+        _consume(queries[name](spark, sf_dir))  # warm-up, untimed
+        best = float("inf")
+        for _ in range(timed_runs):
+            t = time.time()
+            _consume(queries[name](spark, sf_dir))
+            best = min(best, time.time() - t)
+        timings[name] = round(best, 3)
+    calib_after = _calibrate(spark)
+    total = round(kg_wall + sum(v for k, v in timings.items() if k != "kg_pipeline"), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
@@ -110,6 +139,8 @@ def bench_default(sf_dir: str, cpus: int) -> dict:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / kg_wall, 1),
         "cpus": cpus,
+        "timed_runs": timed_runs,
+        "calibration_sec": {"before": calib_before, "after": calib_after},
     }
 
 
