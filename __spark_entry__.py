@@ -920,25 +920,42 @@ def _q_embedding_validation(spark, sf_dir):
 
 
 def _q_kg_hybrid_retrieval(spark, sf_dir):
-    """The FULL hybrid retrieval (rag/retriever.py:600-800) end to end:
-    query analysis -> slot split (factual/simple: chunks 6, entities 4,
-    paths 0) -> vector side + decay-expansion entity side -> boost
-    merge -> top-10. The query vector (encoder boundary) is exported;
-    everything downstream — seeding, 2-hop decay expansion with the
-    early-stop rule, per-side budgets, merge formula — is recomputed
-    by the oracle in SQL from the exported KG tables."""
+    """The FULL hybrid retrieval (rag/retriever.py:600-800) end to end,
+    for BOTH analysis routes, tagged:
+
+    - 'factual' ("what is partnership"): split = chunks 6 / entities 4
+      / paths 0 — vector side + decay-expansion entity side + merge;
+    - 'comparative' ("compare partnership versus rollout"): split =
+      chunks 1 / entities 1 / paths 7 — additionally runs the whole
+      multi-hop reasoning path (beam search with supporting-chunk
+      provenance, mean-entity-embedding path scoring 0.6/0.3/0.1,
+      per-chunk best-path rollup, 3-way min(1,(a+b)*0.7) merge).
+
+    The two query vectors (encoder boundary) are exported; EVERYTHING
+    downstream — seeding, 2-hop decay expansion incl. the early-stop
+    rule, the beam with support lists, path scoring, per-side budgets,
+    both merge formulas — is recomputed by the oracle in SQL from the
+    exported KG tables."""
     from graphrag_spark import graph_query
     from graphrag_spark.embeddings import embed_texts_np
 
     kg = _kg(spark, sf_dir)
-    qtext = "what is partnership"
-    qvec = [float(x) for x in embed_texts_np([qtext])[0]]
-    _export(
-        spark.createDataFrame([(qvec,)], "qv array<double>"), sf_dir, "hyq_vec"
-    )
-    return graph_query.hybrid_retrieval(
-        kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], qtext, top_k=10
-    )
+    parts = []
+    for qkind, qtext, vec_table in (
+        ("factual", "what is partnership", "hyq_vec"),
+        ("comparative", "compare partnership versus rollout", "hyq_vec2"),
+    ):
+        qvec = [float(x) for x in embed_texts_np([qtext])[0]]
+        _export(
+            spark.createDataFrame([(qvec,)], "qv array<double>"), sf_dir, vec_table
+        )
+        out = graph_query.hybrid_retrieval(
+            kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], qtext, top_k=10
+        )
+        parts.append(
+            out.select(F.lit(qkind).alias("qkind"), "chunk_id", "source", "hybrid_score")
+        )
+    return parts[0].unionByName(parts[1])
 
 
 def _q_media_features(spark, sf_dir):
@@ -1148,27 +1165,166 @@ _DECAY_CTES = _decay_ctes(
     """
 )
 
-# hybrid retrieval: the exported query vector, and the reference's
-# hybrid seeding (top-5 entities by importance among those mentioned in
-# the query's vector-top-10 chunks, retriever.py:600-686)
-_HYQ = f"(SELECT qv FROM {_p('hyq_vec')})"
-
-_HYBRID_SEEDS_SQL = f"""
-    SELECT name, CAST(1.0 AS DOUBLE) AS score FROM (
-        SELECT n.name, max(n.importance) AS imp
-        FROM {_p("kg_mentions")} m
-        JOIN {_p("kg_nodes")} n ON m.entity_id = n.entity_id
-        WHERE m.chunk_id IN (
-            SELECT chunk_id FROM (
-                SELECT c.chunk_id,
-                       round(list_cosine_similarity(c.embedding, {_HYQ}), 6) AS s
-                FROM {_p("kg_chunks")} c
-            ) ORDER BY s DESC, chunk_id LIMIT 10
+# Full hybrid retrieval (rag/retriever.py:600-800) as one SQL block per
+# analysis route: seeding (top-5 entities by importance among those
+# mentioned in the query's vector-top-10 chunks, :600-686), the 2-hop
+# decay expansion (via _decay_ctes, incl. early-stop), optionally the
+# whole multi-hop path side (beam with support provenance + 0.6/0.3/0.1
+# path scoring, :409-600), and the 2-way/3-way boost merges (:725-792).
+def _hybrid_block(
+    qkind: str, vec_table: str, chunk_count: int, entity_count: int, path_count: int
+) -> str:
+    hy = f"(SELECT qv FROM {_p(vec_table)})"
+    seeds_sql = f"""
+        SELECT name, CAST(1.0 AS DOUBLE) AS score FROM (
+            SELECT n.name, max(n.importance) AS imp
+            FROM {_p("kg_mentions")} m
+            JOIN {_p("kg_nodes")} n ON m.entity_id = n.entity_id
+            WHERE m.chunk_id IN (
+                SELECT chunk_id FROM (
+                    SELECT c.chunk_id,
+                           round(list_cosine_similarity(c.embedding, {hy}), 6) AS s
+                    FROM {_p("kg_chunks")} c
+                ) ORDER BY s DESC, chunk_id LIMIT 10
+            )
+            GROUP BY n.name
+            ORDER BY imp DESC, n.name LIMIT 5
         )
-        GROUP BY n.name
-        ORDER BY imp DESC, n.name LIMIT 5
-    )
-"""
+    """
+    base = f"""
+        WITH {_decay_ctes(seeds_sql)},
+        chunk_side AS (
+            SELECT chunk_id, similarity AS chunk_score FROM (
+                SELECT c.chunk_id,
+                       round(list_cosine_similarity(c.embedding, {hy}), 6) AS similarity
+                FROM {_p("kg_chunks")} c
+            ) ORDER BY chunk_score DESC, chunk_id LIMIT {chunk_count}
+        ),
+        ent_all AS (
+            SELECT m.chunk_id, max(d.score) AS sim
+            FROM {_p("kg_mentions")} m
+            JOIN {_p("kg_nodes")} n ON m.entity_id = n.entity_id
+            JOIN decay_final d ON n.name = d.name
+            GROUP BY m.chunk_id
+        ),
+        entity_side AS (
+            SELECT chunk_id, sim AS entity_score FROM ent_all
+            WHERE sim >= 0.1 ORDER BY sim DESC, chunk_id LIMIT {entity_count}
+        ),
+        two AS (
+            SELECT coalesce(c.chunk_id, e.chunk_id) AS chunk_id,
+                   c.chunk_score, e.entity_score
+            FROM chunk_side c FULL OUTER JOIN entity_side e
+              ON c.chunk_id = e.chunk_id
+        ),
+        two2 AS (
+            SELECT chunk_id,
+                   CASE WHEN chunk_score IS NOT NULL AND entity_score IS NOT NULL THEN 'hybrid'
+                        WHEN chunk_score IS NOT NULL THEN 'chunk_based'
+                        ELSE 'entity_based' END AS source,
+                   round(CASE
+                        WHEN chunk_score IS NOT NULL AND entity_score IS NOT NULL
+                            THEN least(1.0, (chunk_score + entity_score) * 0.8)
+                        WHEN chunk_score IS NOT NULL THEN chunk_score
+                        ELSE coalesce(entity_score, 0.3) END, 6) AS hybrid_score
+            FROM two
+        )"""
+    if path_count == 0:
+        return f"""{base}
+        SELECT '{qkind}' AS qkind, chunk_id, source, hybrid_score
+        FROM two2 ORDER BY hybrid_score DESC, chunk_id LIMIT 10
+        """
+    hop = """
+            SELECT e.dst AS tail, list_append(p.path, e.dst) AS path,
+                   0.5 * p.path_score + 0.3 * e.strength
+                     + 0.2 * coalesce(i.importance, 0.0) AS path_score,
+                   list_distinct(list_concat(p.support, e.source_chunks)) AS support
+            FROM {prev} p JOIN bedges e ON e.src = p.tail
+            LEFT JOIN bimp i ON i.name = e.dst
+            WHERE NOT list_contains(p.path, e.dst)
+    """
+    return f"""{base},
+        bedges AS (
+            SELECT subj AS src, obj AS dst, strength, source_chunks FROM {_p("kg_triples")}
+            UNION ALL
+            SELECT obj, subj, strength, source_chunks FROM {_p("kg_triples")}
+        ),
+        bimp AS (SELECT name, importance FROM {_p("kg_nodes")}),
+        mp0 AS (
+            SELECT name AS tail, [name] AS path, CAST(1.0 AS DOUBLE) AS path_score,
+                   []::VARCHAR[] AS support
+            FROM seeds
+        ),
+        mp1 AS (
+            SELECT * FROM ({hop.format(prev="mp0")})
+            ORDER BY path_score DESC, tail, array_to_string(path, '>') LIMIT 8
+        ),
+        mp2 AS (
+            SELECT * FROM ({hop.format(prev="mp1")})
+            ORDER BY path_score DESC, tail, array_to_string(path, '>') LIMIT 8
+        ),
+        mh_paths AS (
+            SELECT array_to_string(path, '>') AS path_id, path,
+                   round(path_score, 6) AS path_score, support
+            FROM (SELECT * FROM mp1 UNION ALL SELECT * FROM mp2)
+            WHERE len(support) > 0
+        ),
+        mh_dim AS (
+            SELECT pe.path_id, r.range AS i, n.embedding[r.range] AS v
+            FROM (SELECT path_id, unnest(path) AS name FROM mh_paths) pe
+            JOIN {_p("kg_nodes")} n ON n.name = pe.name
+            CROSS JOIN range(1, 65) r
+        ),
+        mh_pemb AS (
+            SELECT path_id, list(av ORDER BY i) AS pemb FROM (
+                SELECT path_id, i, avg(v) AS av FROM mh_dim GROUP BY path_id, i
+            ) GROUP BY path_id
+        ),
+        mh_pqs AS (
+            SELECT path_id, list_cosine_similarity(pemb, {hy}) AS pqs FROM mh_pemb
+        ),
+        mh_csim AS (
+            SELECT chunk_id, list_cosine_similarity(embedding, {hy}) AS cs
+            FROM {_p("kg_chunks")}
+        ),
+        mh_sup AS (
+            SELECT path_id, path_score, unnest(support) AS chunk_id FROM mh_paths
+        ),
+        mh_scored AS (
+            SELECT pp.path_id,
+                   0.6 * pp.path_score + 0.3 * coalesce(q.pqs, 0.0)
+                     + 0.1 * pp.mcs AS fs
+            FROM (
+                SELECT s.path_id, s.path_score, max(c.cs) AS mcs
+                FROM mh_sup s JOIN mh_csim c USING (chunk_id)
+                GROUP BY 1, 2
+            ) pp
+            JOIN mh_pqs q USING (path_id)
+        ),
+        path_side AS (
+            SELECT chunk_id, path_score FROM (
+                SELECT s.chunk_id, round(max(f.fs), 6) AS path_score
+                FROM mh_sup s JOIN mh_scored f USING (path_id)
+                GROUP BY s.chunk_id
+            ) ORDER BY path_score DESC, chunk_id LIMIT {path_count}
+        ),
+        m3 AS (
+            SELECT coalesce(t.chunk_id, p.chunk_id) AS chunk_id,
+                   t.source, t.hybrid_score, p.path_score
+            FROM two2 t FULL OUTER JOIN path_side p ON t.chunk_id = p.chunk_id
+        )
+        SELECT '{qkind}' AS qkind, chunk_id,
+               CASE WHEN hybrid_score IS NOT NULL AND path_score IS NOT NULL
+                        THEN 'hybrid_with_paths'
+                    WHEN hybrid_score IS NOT NULL THEN source
+                    ELSE 'path_based' END AS source,
+               round(CASE
+                    WHEN hybrid_score IS NOT NULL AND path_score IS NOT NULL
+                        THEN least(1.0, (hybrid_score + path_score) * 0.7)
+                    WHEN hybrid_score IS NOT NULL THEN hybrid_score
+                    ELSE coalesce(path_score, 0.3) END, 6) AS hybrid_score
+        FROM m3 ORDER BY hybrid_score DESC, chunk_id LIMIT 10
+    """
 
 # T1 over stored chunk vectors: query = lexicographically first chunk.
 _VECTOR_SEARCH_CTES = f"""
@@ -1970,42 +2126,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'after', 'ok', count(*) FROM documents
             ORDER BY phase, embedding_status
         """,
+        # both analysis routes (factual: 6/4/0; comparative: 1/1/7 with
+        # the full multi-hop path side), tagged and unioned — split
+        # parameters locked by py_retrieval_split for these two queries
         "kg_hybrid_retrieval": f"""
-            WITH {_decay_ctes(_HYBRID_SEEDS_SQL)},
-            chunk_side AS (
-                SELECT chunk_id, similarity AS chunk_score FROM (
-                    SELECT c.chunk_id,
-                           round(list_cosine_similarity(c.embedding, {_HYQ}), 6) AS similarity
-                    FROM {_p("kg_chunks")} c
-                ) ORDER BY chunk_score DESC, chunk_id LIMIT 6
-            ),
-            ent_all AS (
-                SELECT m.chunk_id, max(d.score) AS sim
-                FROM {_p("kg_mentions")} m
-                JOIN {_p("kg_nodes")} n ON m.entity_id = n.entity_id
-                JOIN decay_final d ON n.name = d.name
-                GROUP BY m.chunk_id
-            ),
-            entity_side AS (
-                SELECT chunk_id, sim AS entity_score FROM ent_all
-                WHERE sim >= 0.1 ORDER BY sim DESC, chunk_id LIMIT 4
-            ),
-            merged AS (
-                SELECT coalesce(c.chunk_id, e.chunk_id) AS chunk_id,
-                       c.chunk_score, e.entity_score
-                FROM chunk_side c FULL OUTER JOIN entity_side e
-                  ON c.chunk_id = e.chunk_id
+            SELECT * FROM (
+                {_hybrid_block("factual", "hyq_vec", 6, 4, 0)}
             )
-            SELECT chunk_id,
-                   CASE WHEN chunk_score IS NOT NULL AND entity_score IS NOT NULL THEN 'hybrid'
-                        WHEN chunk_score IS NOT NULL THEN 'chunk_based'
-                        ELSE 'entity_based' END AS source,
-                   round(CASE
-                        WHEN chunk_score IS NOT NULL AND entity_score IS NOT NULL
-                            THEN least(1.0, (chunk_score + entity_score) * 0.8)
-                        WHEN chunk_score IS NOT NULL THEN chunk_score
-                        ELSE coalesce(entity_score, 0.3) END, 6) AS hybrid_score
-            FROM merged
-            ORDER BY hybrid_score DESC, chunk_id LIMIT 10
+            UNION ALL
+            SELECT * FROM (
+                {_hybrid_block("comparative", "hyq_vec2", 1, 1, 7)}
+            )
+            ORDER BY qkind, hybrid_score DESC, chunk_id
         """,
     }

@@ -115,7 +115,11 @@ def bench_default(sf_dir: str, cpus: int, timed_runs: int = 2) -> dict:
     )
     calib_before = _calibrate(spark)
 
+    # best-of-2 for the headline too: a single bursty-steal-time window
+    # (calibration markers above) can double one kg run's wall
     kg_wall, n_triples = run_kg_pipeline(spark, sf_dir)
+    kg_wall2, _ = run_kg_pipeline(spark, sf_dir)
+    kg_wall = min(kg_wall, kg_wall2)
     timings["kg_pipeline"] = round(kg_wall, 3)
 
     for name in BENCH_QUERIES:

@@ -511,6 +511,54 @@ def build_fulltext_postings(chunks: DataFrame, text_col: str = "content") -> Dat
     )
 
 
+N_TERM_BUCKETS = 64  # term-hash partition fan-out of the stored index
+
+
+def write_fulltext_index(postings: DataFrame, path: str, n_buckets: int = N_TERM_BUCKETS) -> None:
+    """Persist the inverted index partitioned by a term-hash bucket
+    (``tbucket=<b>/`` dirs): a query computes its terms' buckets on the
+    driver and the parquet reader prunes every other partition from the
+    file listing, so per-query scan cost is
+    O(corpus_postings * |query terms| / n_buckets) instead of O(corpus).
+    Same layout trick as the IVF index (similarity.ivf_build_index)."""
+    out = postings.withColumn(
+        "tbucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    # repartition by bucket: one writer task per partition dir, posting
+    # lists for a term colocated in one file
+    out.repartition("tbucket").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("tbucket").parquet(path)
+    # persist the bucket count WITH the index (underscore-prefixed dirs
+    # are invisible to the parquet reader, like _SUCCESS) so readers
+    # can never prune with a mismatched modulus
+    postings.sparkSession.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).coalesce(1).write.mode("overwrite").json(path + "/_meta")
+
+
+def fulltext_search_index_path(spark, path: str, query: str, top_k: int = 10) -> DataFrame:
+    """Index-backed T7 over a PERSISTED index: scans only the queried
+    terms' ``tbucket`` partitions (verify with .explain — the scan's
+    partition filters carry ``tbucket IN (...)``), then the same
+    broadcast-terms join + rollup as ``fulltext_search_indexed``. The
+    pruning modulus comes from the index's own ``_meta``, never a
+    caller guess."""
+    n_buckets = int(spark.read.json(path + "/_meta").first()["n_buckets"])
+    terms = sorted({t.lower() for t in query.split() if t.strip()})
+    # bucket assignment must match the writer's xxhash64 exactly — a
+    # tiny driver-side Spark job over the handful of query terms
+    spark_buckets = [
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    ]
+    pruned = spark.read.parquet(path).filter(F.col("tbucket").isin(spark_buckets))
+    return fulltext_search_indexed(pruned.drop("tbucket"), query, top_k=top_k)
+
+
 def fulltext_search_indexed(postings: DataFrame, query: str, top_k: int = 10) -> DataFrame:
     """Index-backed T7: same scoring as ``fulltext_search`` (sum of
     per-term frequencies — query-term multiplicity included — divided

@@ -36,6 +36,14 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument(
+        "--catalog-prefix",
+        default=None,
+        help="write stage tables to '<prefix>.<stage>' instead of raw "
+        "parquet dirs: an Iceberg catalog name+namespace on a real "
+        "cluster (snapshot-committing V2 writes), or a session-catalog "
+        "database (saveAsTable fallback; created if missing)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="graphrag-kg-pipeline", master=args.master)
@@ -51,8 +59,18 @@ def main() -> None:
     if not fs.exists(success):
         write_corpus(spark, args.flat_docs, corpus_path, buckets=args.buckets)
 
+    if args.catalog_prefix and "." not in args.catalog_prefix:
+        # bare database name on the session catalog
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {args.catalog_prefix}")
+
     t0 = time.time()
-    pipe = KGPipeline(spark, corpus_path, os.path.join(args.work_dir, "work"), buckets=args.buckets)
+    pipe = KGPipeline(
+        spark,
+        corpus_path,
+        os.path.join(args.work_dir, "work"),
+        buckets=args.buckets,
+        iceberg_prefix=args.catalog_prefix,
+    )
     out = pipe.run(resume=not args.no_resume)
     n_triples = out["triples"].count()
     wall = time.time() - t0

@@ -275,3 +275,27 @@ def test_fulltext_indexed_touches_only_query_terms(kg):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_fulltext_persisted_index_prunes_partitions(kg, tmp_path):
+    """Persisted index: query scans only the queried terms' tbucket
+    partitions (partition pruning visible in the plan) and ranks
+    identically to the scan path."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "ft_index")
+    postings = graph_query.build_fulltext_postings(kg["chunks"])
+    graph_query.write_fulltext_index(postings, path, n_buckets=16)
+
+    spark = kg["chunks"].sparkSession
+    q = "partnership rollout"
+    got = graph_query.fulltext_search_index_path(spark, path, q, top_k=10)
+    scan = graph_query.fulltext_search(kg["chunks"], q, top_k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in scan.collect()]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain()
+    plan = buf.getvalue()
+    assert "tbucket" in plan
