@@ -585,10 +585,44 @@ def _q_kg_extraction_status(spark, sf_dir):
 
 
 def _q_kg_chunk_sim_edges(spark, sf_dir):
-    from graphrag_spark import graph_ops
+    """J1 + the reason_with_graph node, tagged:
+
+    - 'sim_edge': within-doc chunk SIMILAR_TO edges (per-chunk top-3,
+      threshold 0.5);
+    - 'reasoning': graph_reasoning_enhance additions
+      (rag/nodes/graph_reasoning.py:13-94) seeded by a deterministic
+      retrieval stand-in (the 5 lexicographically-first chunks, rank =
+      that order): expand from the top-3 seeds over the same edge set +
+      same-doc siblings, first-occurrence dedup, strict cap 10 — src =
+      the seed whose expansion appended the chunk."""
+    from graphrag_spark import graph_ops, graph_query
 
     kg = _kg(spark, sf_dir)
-    return graph_ops.chunk_similarity_edges(kg["chunks"], threshold=0.5, k=3)
+    edges = graph_ops.chunk_similarity_edges(kg["chunks"], threshold=0.5, k=3)
+    # a SIMILAR_TO edge is a distance-1 relationship (and an all-int
+    # column survives the driver's pandas hasher; a NULL would coerce
+    # the whole column to float64)
+    sim_part = edges.select(
+        F.lit("sim_edge").alias("part"), "src", "dst",
+        F.lit(1).alias("distance"), "similarity",
+    )
+    w = Window.orderBy("chunk_id")
+    retrieved = (
+        kg["chunks"].select("chunk_id").orderBy("chunk_id").limit(5)
+        .select("chunk_id", F.row_number().over(w).alias("rank"))
+    )
+    reasoning = (
+        graph_query.graph_reasoning_enhance(retrieved, edges, kg["chunks"])
+        .filter(F.col("source") == "graph_expansion")
+        .select(
+            F.lit("reasoning").alias("part"),
+            F.col("related_to").alias("src"),
+            F.col("chunk_id").alias("dst"),
+            "distance",
+            "similarity",
+        )
+    )
+    return sim_part.unionByName(reasoning)
 
 
 def _q_kg_entity_sim_edges(spark, sf_dir):
@@ -1770,17 +1804,76 @@ def oracle_sql() -> dict[str, str]:
                        AS extraction_complete
             FROM tot t LEFT JOIN per p USING (doc_id)
         """,
+        # 'sim_edge' = brute-force within-doc top-3 recompute;
+        # 'reasoning' = the reason_with_graph enhancement recomputed
+        # from that edge set: depth-1 neighbors, depth-2 two-hop mean,
+        # depth-2 same-doc sibling fallback 0.2, anti-join the
+        # retrieved set, first-occurrence dedup, strict cap 10
         "kg_chunk_sim_edges": f"""
-            SELECT src, dst, similarity FROM (
-                SELECT a.chunk_id AS src, b.chunk_id AS dst,
-                       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS similarity,
-                       row_number() OVER (PARTITION BY a.chunk_id
-                           ORDER BY round(list_cosine_similarity(a.embedding, b.embedding), 6) DESC,
-                                    b.chunk_id) AS rk
-                FROM {_p("kg_chunks")} a
-                JOIN {_p("kg_chunks")} b
-                  ON a.doc_id = b.doc_id AND a.chunk_id <> b.chunk_id
-            ) WHERE rk <= 3 AND similarity >= 0.5
+            WITH edges AS (
+                SELECT src, dst, similarity FROM (
+                    SELECT a.chunk_id AS src, b.chunk_id AS dst,
+                           round(list_cosine_similarity(a.embedding, b.embedding), 6) AS similarity,
+                           row_number() OVER (PARTITION BY a.chunk_id
+                               ORDER BY round(list_cosine_similarity(a.embedding, b.embedding), 6) DESC,
+                                        b.chunk_id) AS rk
+                    FROM {_p("kg_chunks")} a
+                    JOIN {_p("kg_chunks")} b
+                      ON a.doc_id = b.doc_id AND a.chunk_id <> b.chunk_id
+                ) WHERE rk <= 3 AND similarity >= 0.5
+            ),
+            und AS (
+                SELECT src, dst, similarity FROM edges
+                UNION ALL
+                SELECT dst, src, similarity FROM edges
+            ),
+            retrieved AS (
+                SELECT chunk_id, row_number() OVER (ORDER BY chunk_id) AS rank
+                FROM (SELECT chunk_id FROM {_p("kg_chunks")} ORDER BY chunk_id LIMIT 5)
+            ),
+            seeds AS (SELECT chunk_id AS seed_id, rank AS seed_rank FROM retrieved WHERE rank <= 3),
+            d1 AS (
+                SELECT s.seed_id, s.seed_rank, u.dst AS chunk_id,
+                       1 AS distance, u.similarity
+                FROM seeds s JOIN und u ON u.src = s.seed_id
+            ),
+            d2 AS (
+                SELECT s.seed_id, s.seed_rank, u2.dst AS chunk_id, 2 AS distance,
+                       round((u1.similarity + u2.similarity) / 2.0, 6) AS similarity
+                FROM seeds s
+                JOIN und u1 ON u1.src = s.seed_id
+                JOIN und u2 ON u2.src = u1.dst
+                WHERE u2.dst <> s.seed_id
+            ),
+            sib AS (
+                SELECT s.seed_id, s.seed_rank, c2.chunk_id, 2 AS distance,
+                       0.2 AS similarity
+                FROM seeds s
+                JOIN {_p("kg_chunks")} c1 ON c1.chunk_id = s.seed_id
+                JOIN {_p("kg_chunks")} c2 ON c2.doc_id = c1.doc_id
+                WHERE c2.chunk_id <> s.seed_id
+            ),
+            cands AS (
+                SELECT DISTINCT * FROM (
+                    SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM sib
+                )
+                WHERE chunk_id NOT IN (SELECT chunk_id FROM retrieved)
+            ),
+            firsts AS (
+                SELECT *, row_number() OVER (PARTITION BY chunk_id
+                    ORDER BY seed_rank, distance, similarity DESC, chunk_id) AS occ
+                FROM cands
+            ),
+            capped AS (
+                SELECT *, row_number() OVER (
+                    ORDER BY seed_rank, distance, similarity DESC, chunk_id) AS pos
+                FROM firsts WHERE occ = 1
+            )
+            SELECT 'sim_edge' AS part, src, dst, 1 AS distance, similarity
+            FROM edges
+            UNION ALL
+            SELECT 'reasoning', seed_id, chunk_id, distance, round(similarity, 6)
+            FROM capped WHERE pos <= 5
         """,
         # 'exact' = brute-force window top-k; 'lsh' = recompute of the
         # verify -> symmetrize -> top-k stages from the exported

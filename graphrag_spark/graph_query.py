@@ -597,6 +597,134 @@ def top_entities(nodes: DataFrame, k: int = 10) -> DataFrame:
     return nodes.orderBy(F.desc("importance"), "name").limit(k)
 
 
+def related_chunks(
+    sim_edges: DataFrame, chunks: DataFrame, seeds: DataFrame, max_depth: int = 2
+) -> DataFrame:
+    """Chunk-graph traversal (core/graph_db.py:516-557): chunks related
+    to each seed chunk through SIMILAR_TO (the stored J1 edge set,
+    undirected) and HAS_CHUNK (doc -> chunk, i.e. same-document
+    siblings) paths of length <= 2. Per related chunk and path shape:
+
+    - depth 1: a direct SIMILAR_TO neighbor, similarity = edge score;
+    - depth 2 via two SIMILAR_TO hops: similarity = mean of the two
+      edge scores (the reference's reduce/size average), revisiting the
+      seed excluded (a Neo4j path cannot reuse its first relationship);
+    - depth 2 via the document (HAS_CHUNK up + down): no similarity
+      scores on the path -> the reference's distance fallback, 0.2.
+
+    Distinct (chunk, distance, similarity) rows, like the Cypher
+    RETURN DISTINCT — the same chunk may legitimately appear with
+    several similarities (different intermediate chunks).
+
+    ``seeds``: (seed_id, seed_rank) frame — all seeds traverse in one
+    relational job (three joins), no per-seed driver loop. Candidate
+    volume is bounded by |seeds| x top-k fan-out, so downstream global
+    windows stay small."""
+    und = sim_edges.select("src", "dst", "similarity").unionByName(
+        sim_edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity"
+        )
+    )
+    e1 = und.withColumnRenamed("src", "seed_id")
+    s = seeds.select("seed_id", "seed_rank")
+    d1 = s.join(e1, "seed_id").select(
+        "seed_id", "seed_rank", F.col("dst").alias("chunk_id"),
+        F.lit(1).alias("distance"), F.col("similarity"),
+    )
+    parts = [d1]
+    if max_depth >= 2:
+        hop2 = (
+            s.join(e1.select("seed_id", F.col("dst").alias("mid"), F.col("similarity").alias("s1")), "seed_id")
+            .join(
+                und.select(F.col("src").alias("mid"), F.col("dst").alias("chunk_id"), F.col("similarity").alias("s2")),
+                "mid",
+            )
+            .filter(F.col("chunk_id") != F.col("seed_id"))
+            .select(
+                "seed_id", "seed_rank", "chunk_id",
+                F.lit(2).alias("distance"),
+                F.round((F.col("s1") + F.col("s2")) / 2.0, 6).alias("similarity"),
+            )
+        )
+        cid = chunks.select("chunk_id", "doc_id")
+        sib = (
+            s.join(cid.withColumnRenamed("chunk_id", "seed_id"), "seed_id")
+            .join(cid, "doc_id")
+            .filter(F.col("chunk_id") != F.col("seed_id"))
+            .select(
+                "seed_id", "seed_rank", "chunk_id",
+                F.lit(2).alias("distance"), F.lit(0.2).alias("similarity"),
+            )
+        )
+        parts += [hop2, sib]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def graph_reasoning_enhance(
+    retrieved: DataFrame,
+    sim_edges: DataFrame,
+    chunks: DataFrame,
+    top_m: int = 3,
+    cap: int = 10,
+) -> DataFrame:
+    """The reason_with_graph node (rag/nodes/graph_reasoning.py:13-94)
+    as one declarative job: expand from the top ``top_m`` retrieved
+    chunks via ``related_chunks``, append unseen related chunks in the
+    reference's iteration order (seed rank, then distance ASC,
+    similarity DESC), stop when the enhanced context reaches ``cap``.
+
+    Documented divergence (repo convention): the reference's
+    ``len >= 10`` break sits inside the inner loop, so each LATER seed
+    may still append one chunk past the cap; here the cap is strict —
+    exactly ``min(cap - n_retrieved, available)`` additions. Ties in
+    (distance, similarity) order break by chunk_id (the reference
+    leaves Neo4j's tie order unspecified).
+
+    ``retrieved``: (chunk_id, rank) frame, rank 1 = best. Returns the
+    retrieved rows (source='retrieved', related_to NULL) plus the
+    appended rows (source='graph_expansion', related_to = the seed
+    whose expansion added them), each with distance + similarity."""
+    n_retrieved = retrieved.count()
+    budget = max(0, cap - n_retrieved)
+    seeds = (
+        retrieved.orderBy("rank").limit(top_m)
+        .select(F.col("chunk_id").alias("seed_id"), F.col("rank").alias("seed_rank"))
+    )
+    cands = (
+        related_chunks(sim_edges, chunks, seeds)
+        .join(retrieved.select("chunk_id"), "chunk_id", "left_anti")
+    )
+    order = [F.col("seed_rank"), F.col("distance"), F.desc("similarity"), F.col("chunk_id")]
+    # first-occurrence dedup (the reference's seen-set), then the
+    # sequential cap — both tiny windows over the bounded candidate set
+    first = Window.partitionBy("chunk_id").orderBy(*order)
+    seq = Window.orderBy(*order)
+    added = (
+        cands.withColumn("occ", F.row_number().over(first))
+        .filter(F.col("occ") == 1)
+        .withColumn("pos", F.row_number().over(seq))
+        .filter(F.col("pos") <= budget)
+        .select(
+            "chunk_id",
+            F.lit("graph_expansion").alias("source"),
+            F.col("seed_id").alias("related_to"),
+            "distance",
+            F.round("similarity", 6).alias("similarity"),
+        )
+    )
+    base = retrieved.select(
+        "chunk_id",
+        F.lit("retrieved").alias("source"),
+        F.lit(None).cast("string").alias("related_to"),
+        F.lit(0).alias("distance"),
+        F.lit(None).cast("double").alias("similarity"),
+    )
+    return base.unionByName(added)
+
+
 def chunks_in_order(chunks: DataFrame, doc_id: str) -> DataFrame:
     """T8 (core/graph_db.py:559-570)."""
     return chunks.filter(F.col("doc_id") == doc_id).orderBy("chunk_index")

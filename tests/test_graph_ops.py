@@ -299,3 +299,73 @@ def test_fulltext_persisted_index_prunes_partitions(kg, tmp_path):
         got.explain()
     plan = buf.getvalue()
     assert "tbucket" in plan
+
+
+def test_related_chunks_handcrafted(spark):
+    """Reference semantics on a graph small enough to verify by hand
+    (graph_db.py:516-557): c1-c2 (0.9), c2-c3 (0.8) SIMILAR_TO; c1,c4
+    share doc dA; c3 in dB alone.
+
+    From c1: c2 at d1 (0.9); c3 at d2 via c2 ((0.9+0.8)/2=0.85);
+    c4 at d2 sibling fallback (0.2); c1 itself never returned."""
+    edges = spark.createDataFrame(
+        [("c1", "c2", 0.9), ("c2", "c3", 0.8)], "src string, dst string, similarity double"
+    )
+    chunks = spark.createDataFrame(
+        [("c1", "dA"), ("c4", "dA"), ("c2", "dB"), ("c3", "dB")],
+        "chunk_id string, doc_id string",
+    )
+    seeds = spark.createDataFrame([("c1", 1)], "seed_id string, seed_rank int")
+    got = {
+        (r["chunk_id"], r["distance"]): r["similarity"]
+        for r in graph_query.related_chunks(edges, chunks, seeds).collect()
+    }
+    assert got == {("c2", 1): 0.9, ("c3", 2): 0.85, ("c4", 2): 0.2}
+
+
+def test_graph_reasoning_enhance_cap_and_seen_set(spark):
+    """Seen-set: already-retrieved chunks never re-append; first
+    occurrence wins across seeds; strict cap = cap - n_retrieved."""
+    # ring of similarities around r1/r2 seeds
+    edges = spark.createDataFrame(
+        [("r1", "x1", 0.9), ("r1", "x2", 0.7), ("r2", "x1", 0.95),
+         ("r2", "r1", 0.5), ("x1", "x3", 0.6)],
+        "src string, dst string, similarity double",
+    )
+    chunks = spark.createDataFrame(
+        [(c, "d1") for c in ("r1", "r2", "x1", "x2", "x3")],
+        "chunk_id string, doc_id string",
+    )
+    retrieved = spark.createDataFrame(
+        [("r1", 1), ("r2", 2)], "chunk_id string, rank int"
+    )
+    out = graph_query.graph_reasoning_enhance(
+        retrieved, edges, chunks, top_m=3, cap=4
+    ).collect()
+    by_id = {r["chunk_id"]: r for r in out}
+    assert {r["chunk_id"] for r in out if r["source"] == "retrieved"} == {"r1", "r2"}
+    added = [r for r in out if r["source"] == "graph_expansion"]
+    # budget = 4 - 2 = 2; seed r1's candidates in order: x1 (d1 0.9),
+    # x2 (d1 0.7), ... -> x1 and x2 win; x1 attributed to r1 (first
+    # occurrence), never re-added for seed r2 despite its 0.95 edge
+    assert sorted(r["chunk_id"] for r in added) == ["x1", "x2"]
+    assert by_id["x1"]["related_to"] == "r1" and by_id["x1"]["similarity"] == 0.9
+    assert by_id["x2"]["related_to"] == "r1"
+
+
+def test_graph_reasoning_enhance_on_kg(kg):
+    """Integration: enhancement over the real J1 edge set returns the
+    retrieved rows plus <= cap - n unseen expansion rows."""
+    edges = graph_ops.chunk_similarity_edges(kg["chunks"], threshold=0.3, k=3)
+    retrieved = (
+        kg["chunks"].orderBy("chunk_id").limit(3)
+        .select("chunk_id", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("chunk_id")
+        ).alias("rank"))
+    )
+    out = graph_query.graph_reasoning_enhance(retrieved, edges, kg["chunks"]).collect()
+    n_ret = sum(1 for r in out if r["source"] == "retrieved")
+    n_add = sum(1 for r in out if r["source"] == "graph_expansion")
+    assert n_ret == 3 and n_add <= 7
+    ids = [r["chunk_id"] for r in out]
+    assert len(ids) == len(set(ids))
