@@ -712,10 +712,13 @@ def _q_kg_decay_expansion(spark, sf_dir):
     )
 
 
-def _q_kg_vector_search(spark, sf_dir):
-    """T1 over STORED chunk embeddings (reference reads vectors off the
-    chunk nodes, core/graph_db.py:497-514): query = the lexicographically
-    first chunk's stored vector, top-10 over the rest."""
+ENTITY_MODE_QUERY = "yamamoto takahashi"  # matches corpus person entities
+
+
+def _vector_top10(spark, sf_dir):
+    """T1 over stored chunk vectors: query = the lexicographically
+    first chunk's embedding, top-10 over the rest -> (chunk_id,
+    similarity)."""
     kg = _kg(spark, sf_dir)
     chunks = kg["chunks"]
     first = chunks.orderBy("chunk_id").select("chunk_id", "embedding").first()
@@ -727,13 +730,46 @@ def _q_kg_vector_search(spark, sf_dir):
     )
 
 
+def _q_kg_vector_search(spark, sf_dir):
+    """Two retrieval strategies of the dispatcher, tagged:
+
+    - 'chunk_vector': T1 over STORED chunk embeddings (reference reads
+      vectors off the chunk nodes, core/graph_db.py:497-514): query =
+      the lexicographically first chunk's stored vector, top-10 over
+      the rest;
+    - 'entity_mode': ENTITY_ONLY retrieval (rag/retriever.py:150-255)
+      end to end — TF fulltext entity match over name+description,
+      mentions semijoin to candidate chunks, cosine vs the exported
+      query vector, >=0.1 threshold, top-5."""
+    from graphrag_spark import graph_query
+    from graphrag_spark.embeddings import embed_texts_np
+
+    kg = _kg(spark, sf_dir)
+    chunks = kg["chunks"]
+    vec = _vector_top10(spark, sf_dir).select(
+        F.lit("chunk_vector").alias("part"), "chunk_id",
+        F.col("similarity").alias("score"),
+    )
+    qvec = [float(x) for x in embed_texts_np([ENTITY_MODE_QUERY])[0]]
+    _export(
+        spark.createDataFrame([(qvec,)], "qv array<double>"), sf_dir, "entq_vec"
+    )
+    ent = graph_query.entity_based_retrieval(
+        chunks, kg["nodes"], kg["mentions"], ENTITY_MODE_QUERY, top_k=5
+    ).select(
+        F.lit("entity_mode").alias("part"), "chunk_id",
+        F.col("similarity").alias("score"),
+    )
+    return vec.unionByName(ent)
+
+
 def _q_kg_hybrid_merge(spark, sf_dir):
     """J6 hybrid result merge: vector top-10 side + entity-expansion
     side combined with the reference's min(1,(a+b)*0.8) boost."""
     from graphrag_spark import graph_query
 
     kg = _kg(spark, sf_dir)
-    vec = _q_kg_vector_search(spark, sf_dir)
+    vec = _vector_top10(spark, sf_dir)
     exp = graph_query.expand_with_strength_decay(
         kg["triples"], _kg_seeds(kg["triples"]), max_depth=2
     )
@@ -1998,9 +2034,38 @@ def oracle_sql() -> dict[str, str]:
               AND e.dst IN (SELECT name FROM nodes)
         """,
         "kg_vector_search": f"""
-            WITH {_VECTOR_SEARCH_CTES}
-            SELECT chunk_id, similarity FROM vec_top
-            ORDER BY similarity DESC, chunk_id
+            WITH {_VECTOR_SEARCH_CTES},
+            etext AS (
+                SELECT entity_id, name, concat_ws(' ', name, description) AS t
+                FROM {_p("kg_nodes")}
+            ),
+            escore AS (
+                SELECT entity_id, name,
+                       round((len(regexp_extract_all(t, '(?i)\\byamamoto\\b'))
+                            + len(regexp_extract_all(t, '(?i)\\btakahashi\\b')))
+                           / greatest(length(t), 1) * 1000, 6) AS score
+                FROM etext
+            ),
+            etop AS (
+                SELECT entity_id FROM escore WHERE score > 0
+                ORDER BY score DESC, name LIMIT 5
+            ),
+            ecand AS (
+                SELECT DISTINCT chunk_id FROM {_p("kg_mentions")}
+                WHERE entity_id IN (SELECT entity_id FROM etop)
+            ),
+            eret AS (
+                SELECT chunk_id, score FROM (
+                    SELECT c.chunk_id,
+                           round(list_cosine_similarity(c.embedding,
+                               (SELECT qv FROM {_p("entq_vec")})), 6) AS score
+                    FROM {_p("kg_chunks")} c JOIN ecand USING (chunk_id)
+                ) WHERE score >= 0.1
+                ORDER BY score DESC, chunk_id LIMIT 5
+            )
+            SELECT 'chunk_vector' AS part, chunk_id, similarity AS score FROM vec_top
+            UNION ALL
+            SELECT 'entity_mode', chunk_id, score FROM eret
         """,
         "kg_decay_expansion": f"""
             WITH {_DECAY_CTES}

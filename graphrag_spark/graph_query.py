@@ -592,6 +592,147 @@ def fulltext_search_indexed(postings: DataFrame, query: str, top_k: int = 10) ->
     )
 
 
+def entity_fulltext_search(nodes: DataFrame, query: str, top_k: int = 5) -> DataFrame:
+    """entity_similarity_search analog (core/graph_db.py:1084-1110):
+    ranked entity lookup for a query over (name, description). The
+    reference scores with a Lucene fulltext index (BM25, engine-
+    specific); the deterministic analog here is the repo's T7 scoring —
+    summed word-boundary term frequency over ``name || ' ' ||
+    description``, length-normalized x1000 — a documented divergence on
+    the score function, same contract (query -> ranked entities).
+    Serving shape at scale: build_fulltext_postings over the same
+    concatenated text, exactly like chunk fulltext."""
+    terms = [t.lower() for t in query.split() if t.strip()]
+    text = F.concat_ws(" ", "name", "description")
+    score = F.lit(0.0)
+    for t in terms:
+        pat = r"(?i)\b" + "".join("\\" + c if not c.isalnum() else c for c in t) + r"\b"
+        score = score + F.regexp_count(text, F.lit(pat))
+    return (
+        nodes.select(
+            "entity_id", "name", "entity_type", "importance",
+            F.round(score / F.greatest(F.length(text), F.lit(1)) * 1000, 6).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "name")
+        .limit(top_k)
+    )
+
+
+def entity_based_retrieval(
+    chunks: DataFrame,
+    nodes: DataFrame,
+    mentions: DataFrame,
+    query_text: str,
+    top_k: int = 5,
+    min_similarity: float = 0.1,
+) -> DataFrame:
+    """ENTITY_ONLY retrieval (rag/retriever.py:150-255): fulltext-match
+    entities for the query, take the chunks containing them, score each
+    candidate chunk by cosine(query vector, stored chunk vector), drop
+    those under ``min_retrieval_similarity`` (settings.py:95-97 default
+    0.1), return the top-k by similarity.
+
+    The entity match is a broadcast semijoin (a handful of entity ids)
+    into the mentions table, so the only corpus-sized work is scoring
+    the candidate chunks — no full-corpus cosine pass."""
+    from .embeddings import embed_texts_np
+    from .similarity import cosine_col
+
+    qvec = [float(x) for x in embed_texts_np([query_text])[0]]
+    ents = entity_fulltext_search(nodes, query_text, top_k).select("entity_id")
+    cand = (
+        mentions.join(F.broadcast(ents), "entity_id")
+        .select("chunk_id")
+        .distinct()
+    )
+    q = F.array(*[F.lit(x) for x in qvec])
+    return (
+        chunks.join(cand, "chunk_id")
+        .select(
+            "chunk_id",
+            F.round(
+                cosine_col(F.col("embedding").cast("array<double>"), q), 6
+            ).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= min_similarity)
+        .orderBy(F.desc("similarity"), "chunk_id")
+        .limit(top_k)
+    )
+
+
+_MODE_MAP = {
+    "simple": "chunk_only",
+    "chunk_only": "chunk_only",
+    "entity_only": "entity_only",
+    "hybrid": "hybrid",
+    "graph_enhanced": "hybrid",  # legacy alias (retrieval.py:99)
+    "auto": "hybrid",  # entity extraction is always on in this engine
+}
+
+
+def adjusted_top_k(top_k: int, analysis: dict) -> int:
+    """The dispatcher's complexity-based widening (rag/nodes/
+    retrieval.py:58-66): complex or multi-source queries get +3 capped
+    at 10; comparative queries +5 capped at 12; the first matching rule
+    wins (the reference's elif chain)."""
+    if analysis.get("complexity") == "complex" or analysis.get(
+        "requires_multiple_sources"
+    ):
+        return min(top_k + 3, 10)
+    if analysis.get("query_type") == "comparative":
+        return min(top_k + 5, 12)
+    return top_k
+
+
+def retrieve(
+    chunks: DataFrame,
+    nodes: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    query_text: str,
+    mode: str = "hybrid",
+    top_k: int = 5,
+) -> DataFrame:
+    """The retrieval dispatcher (rag/retriever.py:825-874 +
+    rag/nodes/retrieval.py:18-135): analyze the query, widen top_k by
+    complexity, map the requested mode (simple/chunk_only ->
+    chunk-only; entity_only; hybrid/graph_enhanced/auto -> hybrid),
+    and run the corresponding strategy over the stored tables. Unknown
+    modes return an empty frame like the reference's error path.
+
+    Returns (chunk_id, source, score) — chunk-only rows carry source
+    'chunk_based', entity-only 'entity_based', hybrid rows their merge
+    source."""
+    from .embeddings import embed_texts_np
+    from .query_analysis import py_analyze_query
+    from .similarity import cosine_topk_query
+
+    analysis = py_analyze_query(query_text)
+    k = adjusted_top_k(top_k, analysis)
+    resolved = _MODE_MAP.get(mode)
+    if resolved is None:
+        return chunks.sparkSession.createDataFrame(
+            [], "chunk_id string, source string, score double"
+        )
+    if resolved == "chunk_only":
+        qvec = [float(x) for x in embed_texts_np([query_text])[0]]
+        return cosine_topk_query(chunks, qvec, k=k, id_col="chunk_id").select(
+            "chunk_id", F.lit("chunk_based").alias("source"),
+            F.col("similarity").alias("score"),
+        )
+    if resolved == "entity_only":
+        return entity_based_retrieval(
+            chunks, nodes, mentions, query_text, top_k=k
+        ).select(
+            "chunk_id", F.lit("entity_based").alias("source"),
+            F.col("similarity").alias("score"),
+        )
+    return hybrid_retrieval(
+        chunks, nodes, mentions, triples, query_text, top_k=k
+    ).select("chunk_id", "source", F.col("hybrid_score").alias("score"))
+
+
 def top_entities(nodes: DataFrame, k: int = 10) -> DataFrame:
     """T4 (core/graph_db.py:1051-1067)."""
     return nodes.orderBy(F.desc("importance"), "name").limit(k)

@@ -369,3 +369,49 @@ def test_graph_reasoning_enhance_on_kg(kg):
     assert n_ret == 3 and n_add <= 7
     ids = [r["chunk_id"] for r in out]
     assert len(ids) == len(set(ids))
+
+
+def test_entity_fulltext_search(kg):
+    """Entities whose name contains a query term rank above non-
+    matching ones; non-matching entities are absent."""
+    name = kg["nodes"].orderBy(F.desc("importance")).first()["name"]
+    term = max(name.split(), key=len)
+    got = graph_query.entity_fulltext_search(kg["nodes"], term, top_k=5).collect()
+    assert got, f"no entity matched {term!r}"
+    assert all(r["score"] > 0 for r in got)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_retrieval_mode_dispatch(kg):
+    """All four public modes return ranked chunk rows with the right
+    source tag; unknown mode returns empty (reference error path);
+    comparative queries widen top_k (+5 cap 12)."""
+    args = (kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"])
+    chunk = graph_query.retrieve(*args, "what is partnership", mode="chunk_only").collect()
+    assert len(chunk) == 5 and all(r["source"] == "chunk_based" for r in chunk)
+
+    ent = graph_query.retrieve(*args, "partnership details", mode="entity_only").collect()
+    assert all(r["source"] == "entity_based" for r in ent)
+    assert len(ent) <= 5
+
+    hyb = graph_query.retrieve(*args, "what is partnership", mode="hybrid").collect()
+    assert 0 < len(hyb) <= 10
+
+    # comparative -> requires_multiple_sources, so the FIRST rule fires
+    # (+3 cap 10), exactly like the reference's elif chain: 5 -> 8
+    comp = graph_query.retrieve(*args, "compare partnership versus rollout", mode="chunk_only").collect()
+    assert len(comp) == 8
+
+    assert graph_query.retrieve(*args, "x", mode="bogus").collect() == []
+
+
+def test_adjusted_top_k_rules():
+    aj = graph_query.adjusted_top_k
+    assert aj(5, {"complexity": "complex"}) == 8
+    assert aj(8, {"requires_multiple_sources": True}) == 10
+    assert aj(5, {"query_type": "comparative"}) == 10
+    assert aj(9, {"query_type": "comparative"}) == 12
+    # complex wins over comparative (the reference's elif chain)
+    assert aj(5, {"complexity": "complex", "query_type": "comparative"}) == 8
+    assert aj(5, {}) == 5
