@@ -733,6 +733,164 @@ def retrieve(
     ).select("chunk_id", "source", F.col("hybrid_score").alias("score"))
 
 
+def retrieve_with_graph_expansion(
+    chunks: DataFrame,
+    nodes: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    query_text: str,
+    mode: str = "hybrid",
+    top_k: int = 3,
+    expand_depth: int = 2,
+    max_chunk_connections: int = 10,
+    max_expanded_chunks: int = 500,
+    expansion_threshold: float = 0.1,
+) -> DataFrame:
+    """Graph-expanded retrieval (rag/retriever.py:876-1084): initial
+    ``retrieve`` results widened through the graph, as one declarative
+    job per branch. Defaults mirror config/settings.py:107-121.
+
+    - entity branch (entity_only / hybrid modes): entities mentioned in
+      the initial chunks seed a strength-decay expansion (G6, the same
+      0.7^(d+1) / top-20 / threshold loop as entity_expansion_retrieval,
+      retriever.py:1086-1160); each candidate chunk scores as the max
+      contained-entity expansion score (:1152-1168); additions capped at
+      ``max_expanded_chunks // 2`` (:946-948).
+    - chunk branch (chunk_only / hybrid modes): ``related_chunks`` from
+      each initial chunk, top ``max_chunk_connections`` per seed in
+      (distance, similarity) order (:1019-1022), scored
+      ``source_score / (distance + 1)`` (:1034-1037), capped at
+      ``max_chunk_connections x n_initial`` additions (:1004-1006).
+    - merge: initial rows first, then entity additions, then chunk
+      additions (the reference's append order), first occurrence per
+      chunk wins; filter >= ``expansion_similarity_threshold``, sort by
+      similarity, truncate to ``max_expanded_chunks`` (:1060-1077).
+
+    Documented divergences (repo convention): the reference's mid-loop
+    break quirks become the equivalent global caps, and initial rows
+    keep their retrieval score through the final filter (the reference
+    reads ``chunk["similarity"]``, which hybrid-mode rows don't carry,
+    so its final filter silently drops initial hybrid results — clearly
+    unintended).
+
+    Returns (chunk_id, source, expansion_type, similarity)."""
+    initial = retrieve(
+        chunks, nodes, mentions, triples, query_text, mode=mode, top_k=top_k
+    ).persist()
+    n_initial = initial.count()
+    if n_initial == 0:
+        return chunks.sparkSession.createDataFrame(
+            [], "chunk_id string, source string, expansion_type string, similarity double"
+        )
+    resolved = _MODE_MAP.get(mode, "hybrid")
+    base = initial.select(
+        "chunk_id", "source", F.lit(None).cast("string").alias("expansion_type"),
+        F.col("score").alias("similarity"), F.lit(0).alias("branch"),
+    )
+    parts = [base]
+
+    if resolved in ("entity_only", "hybrid"):
+        seeds = [
+            r["name"]
+            for r in mentions.join(
+                F.broadcast(initial.select("chunk_id")), "chunk_id"
+            )
+            .join(nodes.select("entity_id", "name"), "entity_id")
+            .select("name").distinct().collect()
+        ]
+        if seeds:
+            exp = expand_with_strength_decay(
+                triples, seeds, max_depth=min(expand_depth, 2),
+                threshold=expansion_threshold,
+            )
+            ent_add = (
+                mentions.join(nodes.select("entity_id", "name"), "entity_id")
+                .join(exp, "name")
+                .groupBy("chunk_id")
+                .agg(F.round(F.max("score"), 6).alias("similarity"))
+                .orderBy(F.desc("similarity"), "chunk_id")
+                .limit(max_expanded_chunks // 2)
+                .select(
+                    "chunk_id", F.lit("entity_expansion").alias("source"),
+                    F.lit("entity_expansion").alias("expansion_type"),
+                    "similarity", F.lit(1).alias("branch"),
+                )
+            )
+            parts.append(ent_add)
+
+    if resolved in ("chunk_only", "hybrid"):
+        sim_edges = chunk_similarity_edges_for(chunks)
+        seeds_df = initial.select(
+            F.col("chunk_id").alias("seed_id"),
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), "chunk_id")
+            ).alias("seed_rank"),
+            F.col("score").alias("seed_score"),
+        )
+        rel = related_chunks(
+            sim_edges, chunks, seeds_df.select("seed_id", "seed_rank"),
+            max_depth=min(expand_depth, 2),
+        )
+        per_seed = Window.partitionBy("seed_id").orderBy(
+            "distance", F.desc("similarity"), "chunk_id"
+        )
+        chunk_add = (
+            rel.withColumn("rk", F.row_number().over(per_seed))
+            .filter(F.col("rk") <= max_chunk_connections)
+            .join(seeds_df.select("seed_id", "seed_score"), "seed_id")
+            .select(
+                "chunk_id", "seed_rank", "distance",
+                F.round(
+                    F.col("seed_score") / (F.col("distance") + 1), 6
+                ).alias("similarity"),
+            )
+            .withColumn(
+                "occ",
+                F.row_number().over(
+                    Window.partitionBy("chunk_id").orderBy(
+                        "seed_rank", "distance", F.desc("similarity")
+                    )
+                ),
+            )
+            .filter(F.col("occ") == 1)
+            .withColumn(
+                "pos",
+                F.row_number().over(
+                    Window.orderBy("seed_rank", "distance", F.desc("similarity"), "chunk_id")
+                ),
+            )
+            .filter(F.col("pos") <= max_chunk_connections * n_initial)
+            .select(
+                "chunk_id", F.lit("chunk_expansion").alias("source"),
+                F.lit("chunk_similarity").alias("expansion_type"),
+                "similarity", F.lit(2).alias("branch"),
+            )
+        )
+        parts.append(chunk_add)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    first = Window.partitionBy("chunk_id").orderBy("branch")
+    return (
+        out.withColumn("occ", F.row_number().over(first))
+        .filter(F.col("occ") == 1)
+        .filter(F.col("similarity") >= expansion_threshold)
+        .select("chunk_id", "source", "expansion_type", "similarity")
+        .orderBy(F.desc("similarity"), "chunk_id")
+        .limit(max_expanded_chunks)
+    )
+
+
+def chunk_similarity_edges_for(chunks: DataFrame) -> DataFrame:
+    """The stored J1 edge set used by chunk-graph traversals — thin
+    indirection so query-side callers don't import graph_ops
+    (circular)."""
+    from .graph_ops import chunk_similarity_edges
+
+    return chunk_similarity_edges(chunks, threshold=0.5, k=3)
+
+
 def top_entities(nodes: DataFrame, k: int = 10) -> DataFrame:
     """T4 (core/graph_db.py:1051-1067)."""
     return nodes.orderBy(F.desc("importance"), "name").limit(k)

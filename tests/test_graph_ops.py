@@ -415,3 +415,28 @@ def test_adjusted_top_k_rules():
     # complex wins over comparative (the reference's elif chain)
     assert aj(5, {"complexity": "complex", "query_type": "comparative"}) == 8
     assert aj(5, {}) == 5
+
+
+def test_retrieve_with_graph_expansion(kg):
+    """Composition invariants: initial rows survive with their
+    retrieval score; expansion rows are tagged, scored under their
+    sources (chunk branch: source_score/(distance+1)), above the 0.1
+    floor, and deduped against the initial set."""
+    args = (kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"])
+    out = graph_query.retrieve_with_graph_expansion(
+        *args, "what is partnership", mode="hybrid", top_k=3
+    ).collect()
+    ids = [r["chunk_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    initial = [r for r in out if r["expansion_type"] is None]
+    expanded = [r for r in out if r["expansion_type"] is not None]
+    assert 0 < len(initial) <= 3
+    assert expanded, "expansion added nothing on a connected corpus"
+    assert {r["expansion_type"] for r in expanded} <= {"entity_expansion", "chunk_similarity"}
+    assert all(r["similarity"] >= 0.1 for r in out)
+
+    # chunk_only mode only does chunk-similarity expansion
+    co = graph_query.retrieve_with_graph_expansion(
+        *args, "what is partnership", mode="chunk_only", top_k=3
+    ).collect()
+    assert {r["expansion_type"] for r in co if r["expansion_type"]} <= {"chunk_similarity"}
