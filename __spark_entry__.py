@@ -731,7 +731,8 @@ def _vector_top10(spark, sf_dir):
 
 
 def _q_kg_vector_search(spark, sf_dir):
-    """Two retrieval strategies of the dispatcher, tagged:
+    """Retrieval strategies + the generation node's source assembly,
+    tagged:
 
     - 'chunk_vector': T1 over STORED chunk embeddings (reference reads
       vectors off the chunk nodes, core/graph_db.py:497-514): query =
@@ -740,27 +741,57 @@ def _q_kg_vector_search(spark, sf_dir):
     - 'entity_mode': ENTITY_ONLY retrieval (rag/retriever.py:150-255)
       end to end — TF fulltext entity match over name+description,
       mentions semijoin to candidate chunks, cosine vs the exported
-      query vector, >=0.1 threshold, top-5."""
+      query vector, >=0.1 threshold, top-5;
+    - 'src_entity' / 'src_chunk': prepare_sources
+      (rag/nodes/generation.py:45-119) over both retrievals — entity-
+      based rows explode into top-3 entity sources with 200-char
+      previews, the rest become chunk sources carrying their ordered
+      contained-entity csv."""
     from graphrag_spark import graph_query
     from graphrag_spark.embeddings import embed_texts_np
+    from graphrag_spark.generation import prepare_sources
 
     kg = _kg(spark, sf_dir)
     chunks = kg["chunks"]
-    vec = _vector_top10(spark, sf_dir).select(
+    vec10 = _vector_top10(spark, sf_dir)
+    vec = vec10.select(
         F.lit("chunk_vector").alias("part"), "chunk_id",
         F.col("similarity").alias("score"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("string").alias("preview"),
     )
     qvec = [float(x) for x in embed_texts_np([ENTITY_MODE_QUERY])[0]]
     _export(
         spark.createDataFrame([(qvec,)], "qv array<double>"), sf_dir, "entq_vec"
     )
-    ent = graph_query.entity_based_retrieval(
+    eret = graph_query.entity_based_retrieval(
         chunks, kg["nodes"], kg["mentions"], ENTITY_MODE_QUERY, top_k=5
-    ).select(
+    )
+    ent = eret.select(
         F.lit("entity_mode").alias("part"), "chunk_id",
         F.col("similarity").alias("score"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("string").alias("preview"),
     )
-    return vec.unionByName(ent)
+    retrieved = vec10.select(
+        "chunk_id", F.lit("chunk_based").alias("source"),
+        F.col("similarity").alias("score"),
+    ).unionByName(
+        eret.select(
+            "chunk_id", F.lit("entity_based").alias("source"),
+            F.col("similarity").alias("score"),
+        )
+    )
+    src = prepare_sources(retrieved, chunks, kg["mentions"], kg["nodes"]).select(
+        F.when(F.col("kind") == "entity", "src_entity")
+        .otherwise("src_chunk").alias("part"),
+        "chunk_id",
+        F.col("relevance").alias("score"),
+        F.when(F.col("kind") == "entity", F.col("entity_name"))
+        .otherwise(F.col("contained_entities")).alias("label"),
+        F.col("content").alias("preview"),
+    )
+    return vec.unionByName(ent).unionByName(src)
 
 
 def _q_kg_hybrid_merge(spark, sf_dir):
@@ -2063,9 +2094,44 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE score >= 0.1
                 ORDER BY score DESC, chunk_id LIMIT 5
             )
-            SELECT 'chunk_vector' AS part, chunk_id, similarity AS score FROM vec_top
+            ,
+            sretr AS (
+                SELECT chunk_id, 'chunk_based' AS source, similarity AS score
+                FROM vec_top WHERE similarity > 0
+                UNION ALL
+                SELECT chunk_id, 'entity_based', score FROM eret WHERE score > 0
+            ),
+            sents AS (
+                SELECT m.chunk_id, n.name, n.importance,
+                       row_number() OVER (PARTITION BY m.chunk_id
+                           ORDER BY n.importance DESC, n.name) AS rk
+                FROM {_p("kg_mentions")} m
+                JOIN {_p("kg_nodes")} n USING (entity_id)
+                WHERE m.chunk_id IN (SELECT chunk_id FROM sretr)
+            ),
+            scsv AS (
+                SELECT chunk_id, string_agg(name, ',' ORDER BY rk) AS contained
+                FROM sents GROUP BY chunk_id
+            ),
+            sbase AS (
+                SELECT r.chunk_id, r.source, r.score, c.content, s.contained
+                FROM sretr r
+                JOIN {_p("kg_chunks")} c USING (chunk_id)
+                LEFT JOIN scsv s USING (chunk_id)
+            )
+            SELECT 'chunk_vector' AS part, chunk_id, similarity AS score,
+                   CAST(NULL AS VARCHAR) AS label, CAST(NULL AS VARCHAR) AS preview
+            FROM vec_top
             UNION ALL
-            SELECT 'entity_mode', chunk_id, score FROM eret
+            SELECT 'entity_mode', chunk_id, score, NULL, NULL FROM eret
+            UNION ALL
+            SELECT 'src_entity', b.chunk_id, b.score, e.name,
+                   substring(b.content, 1, 200) || '...'
+            FROM sbase b JOIN sents e USING (chunk_id)
+            WHERE b.source = 'entity_based' AND e.rk <= 3
+            UNION ALL
+            SELECT 'src_chunk', chunk_id, score, coalesce(contained, ''), content
+            FROM sbase WHERE source <> 'entity_based' OR contained IS NULL
         """,
         "kg_decay_expansion": f"""
             WITH {_DECAY_CTES}
