@@ -345,6 +345,7 @@ def _q_query_routing(spark, sf_dir):
         "doc_id", "query_type", "complexity", "multi_hop_recommended",
         "path_weight", "chunk_count", "entity_count", "path_count",
         F.array_join("key_concepts", ",").alias("key_concepts"),
+        query_analysis.follow_up_flag_col(F.col("query")).alias("is_follow_up"),
     )
 
 
@@ -1173,6 +1174,22 @@ def _any_hit(words: list[str]) -> str:
     return "(" + " OR ".join(f"position('{w}' IN q) > 0" for w in words) + ")"
 
 
+# follow-up flag (query_analysis.py:248-389 fallback contract): starts
+# with an indicator OR contains a space-framed context reference
+_FOLLOW_UP_SQL = (
+    "("
+    + " OR ".join(
+        f"starts_with(trim(lower(q)), '{w}')" for w in _qa.FOLLOW_UP_INDICATORS
+    )
+    + " OR "
+    + " OR ".join(
+        f"position(' {r} ' IN ' ' || trim(lower(q)) || ' ') > 0"
+        for r in _qa.CONTEXT_REFERENCES
+    )
+    + ")"
+)
+
+
 _LANG_HIT = (
     "len(list_intersect(regexp_split_to_array(lower(text), '\\s+'), {words}))"
 )
@@ -1723,7 +1740,8 @@ def oracle_sql() -> dict[str, str]:
                                  THEN greatest(CAST(floor(10 * pw) AS INT), 3)
                              ELSE greatest(1, CAST(floor(10 * pw) AS INT))
                         END AS INT) AS path_count,
-                   coalesce(array_to_string(concepts, ','), '') AS key_concepts
+                   coalesce(array_to_string(concepts, ','), '') AS key_concepts,
+                   {_FOLLOW_UP_SQL} AS is_follow_up
             FROM an3
         """,
         "exact_dedup": """

@@ -36,6 +36,19 @@ QUERY_STOP_WORDS = [
 HYBRID_CHUNK_WEIGHT = 0.6
 HYBRID_PATH_WEIGHT = 0.6
 
+# follow-up detection word lists, verbatim (query_analysis.py:266-311)
+FOLLOW_UP_INDICATORS = [
+    "tell me more", "what about", "and", "also", "additionally",
+    "his ", "her ", "their ", "its ", "this ", "that ", "these ",
+    "those ", "he ", "she ", "they ", "it ", "more about", "explain",
+    "clarify", "elaborate", "same", "similar", "different",
+    "compared to",
+]
+CONTEXT_REFERENCES = [
+    "he", "she", "they", "it", "this", "that", "these", "those",
+    "him", "her", "them", "his", "their", "its",
+]
+
 
 def _contains_any(lower: Column, words: list[str]) -> Column:
     cond = F.lit(False)
@@ -101,6 +114,72 @@ def analyze_queries(queries: DataFrame, query_col: str = "query") -> DataFrame:
         concepts.alias("key_concepts"),
         multi_hop.alias("multi_hop_recommended"),
     )
+
+
+def follow_up_flag_col(q: Column) -> Column:
+    """Follow-up detection (query_analysis.py:248-389) as one native
+    boolean: a query is flagged when it starts with a follow-up
+    indicator or contains a context-reference pronoun framed by spaces
+    — exactly the reference's heuristic gate, which is ALSO its own
+    stand-in when the LLM refinement's JSON fails to parse (:384-389:
+    ``is_follow_up = needs_context = starts_with_indicator or
+    contains_reference``). The LLM refinement between gate and fallback
+    is an encoder boundary, like extraction; this column IS the
+    deterministic contract.
+
+    The space-framed containment subsumes the reference's separate
+    ``startswith(f"{ref} ")`` check (framing prepends a space), and its
+    punctuation behavior is preserved: ``"about it?"`` does not frame
+    ``" it "``, matching the reference."""
+    lower = F.trim(F.lower(q))
+    starts = F.lit(False)
+    for w in FOLLOW_UP_INDICATORS:
+        starts = starts | lower.startswith(w)
+    framed = F.concat(F.lit(" "), lower, F.lit(" "))
+    contains = F.lit(False)
+    for r in CONTEXT_REFERENCES:
+        contains = contains | framed.contains(f" {r} ")
+    return starts | contains
+
+
+def py_detect_follow_up(query: str) -> dict:
+    """Pure-Python twin of ``follow_up_flag_col`` (the test oracle),
+    returning the reference's fallback-contract dict (:384-389)."""
+    lower = query.lower().strip()
+    starts = any(lower.startswith(w) for w in FOLLOW_UP_INDICATORS)
+    framed = f" {lower} "
+    contains = any(f" {r} " in framed for r in CONTEXT_REFERENCES)
+    flag = starts or contains
+    return {"is_follow_up": flag, "needs_context": flag}
+
+
+def build_contextualization_prompt(query: str, chat_history: list[dict]) -> str:
+    """The deterministic half of query contextualization
+    (query_analysis.py:397-436): window the history to the last 6
+    messages, truncate each content to 500 chars, assemble the rewrite
+    prompt. The rewrite itself is an LLM boundary; its failure fallback
+    returns the query unchanged (:455-457)."""
+    recent = chat_history[-6:] if len(chat_history) > 6 else chat_history
+    history_text = "\n".join(
+        f"{m['role'].title()}: {m['content'][:500]}" for m in recent
+    )
+    return (
+        "Given the conversation history and the current follow-up "
+        "question, rewrite the question to be self-contained and clear "
+        "without the previous context.\n\nPrevious conversation:\n"
+        f"{history_text}\n\nCurrent follow-up question: {query}\n\n"
+        "Rewritten question:"
+    )
+
+
+def clean_rewritten_query(text: str) -> str:
+    """Rewriter output cleanup (query_analysis.py:444-450): strip, then
+    drop one layer of matching single or double quotes."""
+    out = text.strip()
+    for qc in ('"', "'"):
+        if out.startswith(qc) and out.endswith(qc) and len(out) >= 2:
+            out = out[1:-1]
+    return out
 
 
 def retrieval_split(

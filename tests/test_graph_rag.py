@@ -1,0 +1,65 @@
+"""End-to-end query workflow composition (rag/graph_rag.py parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphrag_spark.graph_rag import graph_rag_query, retrieve_documents
+from graphrag_spark.pipeline import run_in_memory
+
+
+@pytest.fixture(scope="module")
+def kg(spark, corpus_path):
+    out = run_in_memory(spark, spark.read.parquet(corpus_path))
+    return (
+        out["chunks"].persist(),
+        out["nodes"].persist(),
+        out["mentions"].persist(),
+        out["triples"].persist(),
+    )
+
+
+def test_retrieval_node_expansion_gate(kg):
+    """Simple factual queries take the plain dispatcher; comparative
+    queries route through graph expansion (expansion_type rows exist in
+    the expanded variant's sources but the node's contract stays
+    (chunk_id, source, score))."""
+    plain = retrieve_documents(*kg, "what is partnership", top_k=5)
+    assert plain.columns == ["chunk_id", "source", "score"]
+    assert 0 < plain.count() <= 10
+
+    comp = retrieve_documents(*kg, "compare partnership versus rollout", top_k=3)
+    assert comp.columns == ["chunk_id", "source", "score"]
+    # expansion adds rows beyond the widened top_k
+    assert comp.count() > 8
+    srcs = {r["source"] for r in comp.collect()}
+    assert srcs & {"entity_expansion", "chunk_expansion"}
+
+
+def test_graph_rag_query_state(kg):
+    out = graph_rag_query(*kg, "what is partnership", top_k=5)
+    assert out["stages"] == [
+        "query_analysis", "retrieval", "graph_reasoning", "generation"
+    ]
+    assert out["analysis"]["query_type"] == "factual"
+    assert out["analysis"]["is_follow_up"] is False
+
+    retrieved = out["retrieved"].collect()
+    assert 0 < len(retrieved) <= 5
+
+    ctx = out["context"].collect()
+    assert len(ctx) >= len(retrieved)
+    assert out["metadata"]["chunks_used"] == sum(1 for r in ctx if r["score"] > 0)
+
+    src = out["sources"].collect()
+    assert src
+    assert {r["kind"] for r in src} <= {"entity", "chunk"}
+
+    # chunk_only mode: no reasoning enhancement — context == retrieved
+    co = graph_rag_query(*kg, "what is partnership", retrieval_mode="chunk_only")
+    assert co["context"].count() == co["retrieved"].count()
+
+
+def test_graph_rag_follow_up_flag(kg):
+    out = graph_rag_query(*kg, "tell me more about it")
+    assert out["analysis"]["is_follow_up"] is True

@@ -3,6 +3,8 @@ the pure-Python trace of the reference rules."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from graphrag_spark.query_analysis import (
     analyze_queries,
     py_analyze_query,
@@ -50,3 +52,45 @@ def test_split_matches_trace(spark):
         for k in ("path_weight", "chunk_count", "entity_count", "path_count"):
             assert g[k] == want[k], (q, k, g[k], want[k])
         assert g["chunk_count"] + g["entity_count"] + g["path_count"] >= 1
+
+
+def test_follow_up_detection_spark_matches_py(spark):
+    from graphrag_spark.query_analysis import follow_up_flag_col, py_detect_follow_up
+
+    cases = [
+        "tell me more about the rollout",      # starts-with indicator
+        "what about the other one",            # starts-with indicator
+        "explain why the numbers differ",      # 'explain' indicator
+        "what is it doing there",              # framed ' it '
+        "describe the quarterly totals",       # neither
+        "about it?",                           # punctuation blocks framing (reference parity)
+        "This looks wrong",                    # 'this ' indicator after lower
+        "summarize revenue",                   # neither
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "q string")
+    got = {
+        r["q"]: r["f"]
+        for r in df.select("q", follow_up_flag_col(F.col("q")).alias("f")).collect()
+    }
+    for c in cases:
+        assert got[c] == py_detect_follow_up(c)["is_follow_up"], c
+    assert got["tell me more about the rollout"] is True
+    assert got["describe the quarterly totals"] is False
+    assert got["about it?"] is False
+
+
+def test_contextualization_plumbing():
+    from graphrag_spark.query_analysis import (
+        build_contextualization_prompt, clean_rewritten_query,
+    )
+
+    hist = [{"role": "user", "content": "x" * 600}] * 8
+    p = build_contextualization_prompt("what about him", hist)
+    # last 6 messages only, each truncated to 500 chars
+    assert p.count("User:") == 6
+    assert "x" * 500 in p and "x" * 501 not in p
+    assert p.rstrip().endswith("Rewritten question:")
+
+    assert clean_rewritten_query('  "What did Greta do?"  ') == "What did Greta do?"
+    assert clean_rewritten_query("'single'") == "single"
+    assert clean_rewritten_query('"mismatched\'') == '"mismatched\''
