@@ -179,9 +179,15 @@ def bench_scaling(
                 shuffle_partitions=max(cpus * 2, 16),
             )
             spark.sparkContext.setLogLevel("ERROR")
+            # per-run contention marker (same fixed microbench as the
+            # default bench): a drifting calibration identifies runs
+            # poisoned by hypervisor-neighbor steal time, which shows
+            # up as 15%+ run-to-run variance on the 4N side
+            calib = _calibrate(spark)
             wall, n_triples = run_kg_pipeline(spark, sf_dir, amplify=amplify)
             results[cpus].append({"wall_sec": round(wall, 2), "triples": n_triples,
-                                  "triples_per_sec": round(n_triples / wall, 1)})
+                                  "triples_per_sec": round(n_triples / wall, 1),
+                                  "calibration_sec": calib})
             spark.stop()
     best = {c: max(r, key=lambda x: x["triples_per_sec"]) for c, r in results.items()}
     eff = (best[n_large]["triples_per_sec"] / best[n_small]["triples_per_sec"]) / (n_large / n_small)

@@ -790,12 +790,21 @@ def retrieve_with_graph_expansion(
     parts = [base]
 
     if resolved in ("entity_only", "hybrid"):
+        # per-chunk entity cap = the reference's entity_ids[:20] slice
+        # (settings.max_entity_connections, retriever.py:956-958) —
+        # bounds this collect at 20 x n_initial names no matter how
+        # entity-dense a chunk is
+        per_chunk = Window.partitionBy("chunk_id").orderBy(
+            F.desc("importance"), "name"
+        )
         seeds = [
             r["name"]
             for r in mentions.join(
                 F.broadcast(initial.select("chunk_id")), "chunk_id"
             )
-            .join(nodes.select("entity_id", "name"), "entity_id")
+            .join(nodes.select("entity_id", "name", "importance"), "entity_id")
+            .withColumn("rk", F.row_number().over(per_chunk))
+            .filter(F.col("rk") <= 20)
             .select("name").distinct().collect()
         ]
         if seeds:
