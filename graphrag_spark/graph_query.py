@@ -556,7 +556,12 @@ def fulltext_search_index_path(spark, path: str, query: str, top_k: int = 10) ->
         .collect()
     ]
     pruned = spark.read.parquet(path).filter(F.col("tbucket").isin(spark_buckets))
-    return fulltext_search_indexed(pruned.drop("tbucket"), query, top_k=top_k)
+    # batch_id appears as an extra partition column when the index is
+    # maintained incrementally (streaming.incremental_fulltext_index's
+    # batch_id=N/tbucket=B layout); drop() ignores it when absent
+    return fulltext_search_indexed(
+        pruned.drop("tbucket", "batch_id"), query, top_k=top_k
+    )
 
 
 def fulltext_search_indexed(postings: DataFrame, query: str, top_k: int = 10) -> DataFrame:

@@ -207,3 +207,58 @@ def incremental_kg_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_fulltext_index(
+    spark: SparkSession,
+    docs_stream_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int | None = None,
+) -> StreamingQuery:
+    """Streaming maintenance of the persisted fulltext index — at
+    corpus scale the index is never rebuilt, it accretes: each
+    micro-batch chunks its documents, builds their posting lists, and
+    writes them in the SAME ``tbucket=<b>/`` term-hash layout as
+    ``graph_query.write_fulltext_index``, under an idempotent
+    ``batch_id=<n>/`` prefix (a retried micro-batch overwrites its own
+    partition instead of appending duplicates — same exactly-once
+    recipe as ``incremental_kg_ingest``).
+
+    Readers need no rebuild step: ``fulltext_search_index_path`` prunes
+    on the ``tbucket`` partition column across every batch dir (Spark's
+    partition discovery handles the two-level batch_id/tbucket layout)
+    and drops the extra ``batch_id`` column. Duplicate documents across
+    batches would duplicate postings — feed the stream through
+    ``stream_dedup`` upstream when the source can replay.
+
+    ``_meta`` (the pruning modulus) is written once at setup, so a
+    reader can never prune with a mismatched bucket count."""
+    from .graph_query import N_TERM_BUCKETS, build_fulltext_postings
+
+    nb = int(n_buckets or N_TERM_BUCKETS)
+    spark.createDataFrame([(nb,)], "n_buckets int").coalesce(1).write.mode(
+        "overwrite"
+    ).json(index_dir + "/_meta")
+
+    stream = (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(docs_stream_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = chunking.chunk_documents(document_text(batch_df))
+        postings = build_fulltext_postings(chunks).withColumn(
+            "tbucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
+        )
+        postings.repartition("tbucket").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).partitionBy("tbucket").parquet(f"{index_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

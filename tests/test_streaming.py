@@ -149,3 +149,40 @@ def test_register_views_sql_surface(spark, corpus_path):
         """
     ).first()
     assert row["n"] >= 1
+
+
+def test_incremental_fulltext_index_matches_batch(spark, corpus_path, tmp_path):
+    """Streaming-maintained index (batch_id=N/tbucket=B accretion) must
+    rank queries identically to a one-shot batch build, and the query
+    path must still prune on tbucket across batch dirs."""
+    from graphrag_spark.chunking import chunk_documents
+    from graphrag_spark.corpus import document_text
+    from graphrag_spark.graph_query import (
+        build_fulltext_postings,
+        fulltext_search_index_path,
+        write_fulltext_index,
+    )
+    from graphrag_spark.streaming import incremental_fulltext_index
+
+    inc_dir = str(tmp_path / "ft_inc")
+    q = incremental_fulltext_index(
+        spark, corpus_path, inc_dir, str(tmp_path / "ckpt_ft"), n_buckets=16
+    )
+    q.awaitTermination(180)
+
+    batch_dir = str(tmp_path / "ft_batch")
+    chunks = chunk_documents(document_text(spark.read.parquet(corpus_path)))
+    write_fulltext_index(build_fulltext_postings(chunks), batch_dir, n_buckets=16)
+
+    query = "partnership rollout"
+    got = [tuple(r) for r in fulltext_search_index_path(spark, inc_dir, query).collect()]
+    want = [tuple(r) for r in fulltext_search_index_path(spark, batch_dir, query).collect()]
+    assert got == want and got
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fulltext_search_index_path(spark, inc_dir, query).explain()
+    assert "tbucket" in buf.getvalue()
