@@ -16,6 +16,12 @@ complete engine we provide the two streaming shapes the corpus needs:
    staged parquet tables. Canonicalization remains a periodic batch job
    (CC is iterative and global — the right architecture is streaming
    extraction + scheduled global canonicalize, not a stateful CC).
+4. ``incremental_fulltext_index`` / ``incremental_similarity_edges`` —
+   index/edge-set MAINTENANCE under append: new documents' posting
+   lists and within-doc SIMILAR_TO edges accrete per micro-batch in
+   idempotent batch_id dirs, so neither artifact is ever rebuilt from
+   the corpus (the 100 TB posture; the reference instead re-scans via
+   its backfill CLI, scripts/create_similarities.py).
 """
 
 from __future__ import annotations
@@ -255,6 +261,47 @@ def incremental_fulltext_index(
         postings.repartition("tbucket").sortWithinPartitions("term").write.mode(
             "overwrite"
         ).partitionBy("tbucket").parquet(f"{index_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_similarity_edges(
+    spark: SparkSession,
+    docs_stream_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    k: int = 5,
+) -> StreamingQuery:
+    """Streaming twin of the similarity backfill CLI
+    (scripts/create_similarities.py + core/graph_db.py:239-341): J1
+    SIMILAR_TO edges are WITHIN-document, and streamed documents arrive
+    whole, so each micro-batch computes its own documents' edges with
+    the exact batch operator (graph_ops.chunk_similarity_edges) and
+    appends them under an idempotent ``batch_id=<n>/`` dir — the edge
+    set stays current without ever re-scanning the corpus, and a
+    retried micro-batch replaces its own output.
+
+    Readers union the batch dirs (``spark.read.parquet(out_dir)``);
+    per-chunk top-k holds globally because a chunk's candidate set
+    (its document's other chunks) is fully contained in its batch."""
+    from .graph_ops import chunk_similarity_edges
+
+    stream = (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(docs_stream_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = chunking.chunk_documents(document_text(batch_df))
+        edges = chunk_similarity_edges(chunks, threshold=threshold, k=k)
+        edges.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(process_batch)

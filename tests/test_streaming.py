@@ -186,3 +186,30 @@ def test_incremental_fulltext_index_matches_batch(spark, corpus_path, tmp_path):
     with contextlib.redirect_stdout(buf):
         fulltext_search_index_path(spark, inc_dir, query).explain()
     assert "tbucket" in buf.getvalue()
+
+
+def test_incremental_similarity_edges_match_batch(spark, corpus_path, tmp_path):
+    """Edges accreted per micro-batch must equal the one-shot batch
+    edge set — valid because J1 candidates are within-document and
+    documents arrive whole."""
+    from graphrag_spark.chunking import chunk_documents
+    from graphrag_spark.corpus import document_text
+    from graphrag_spark.graph_ops import chunk_similarity_edges
+    from graphrag_spark.streaming import incremental_similarity_edges
+
+    out = str(tmp_path / "sim_edges")
+    q = incremental_similarity_edges(
+        spark, corpus_path, out, str(tmp_path / "ckpt_sim"), threshold=0.3, k=3
+    )
+    q.awaitTermination(180)
+
+    chunks = chunk_documents(document_text(spark.read.parquet(corpus_path)))
+    want = {
+        tuple(r)
+        for r in chunk_similarity_edges(chunks, threshold=0.3, k=3).collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out).select("src", "dst", "similarity").collect()
+    }
+    assert got == want and got
