@@ -642,7 +642,7 @@ def _q_kg_entity_sim_edges(spark, sf_dir):
     # pairs the lsh branch forms internally) for the DuckDB twin
     _export(
         lsh_candidate_pairs(
-            kg["nodes"].select("entity_id", "embedding"), id_col="entity_id"
+            kg["nodes"].select("entity_id", "embedding"), id_col="entity_id", dim=64
         ),
         sf_dir,
         "entity_lsh_cands",
@@ -986,7 +986,7 @@ def _q_lsh_embedding_dups(spark, sf_dir):
     from graphrag_spark.similarity import lsh_candidate_pairs, verify_candidates_cosine
 
     e = _t(spark, sf_dir, "embeddings")
-    cand = _export(lsh_candidate_pairs(e), sf_dir, "lsh_emb_cands")
+    cand = _export(lsh_candidate_pairs(e, dim=64), sf_dir, "lsh_emb_cands")
     return verify_candidates_cosine(cand, e, threshold=0.35).orderBy("src", "dst")
 
 

@@ -108,9 +108,15 @@ def _prefix_index(sh: DataFrame, threshold: float) -> DataFrame:
     a_X = ceil(t*|X|) — each true pair satisfies |A∩B| >= max(a_A,
     a_B), and the smaller-a side's prefix is only LONGER than the
     lemma needs — every qualifying pair collides on at least one
-    indexed shingle: deterministic 100% recall at the threshold."""
+    indexed shingle: deterministic 100% recall at the threshold.
+
+    The epsilon inside the ceil guards the float product: for
+    thresholds whose double repr exceeds the rational value (0.55*20 =
+    11.000000000000002) a bare ceil would overshoot by one and shorten
+    the prefix below the lemma's bound; subtracting 1e-9 can only ever
+    LENGTHEN the prefix (always recall-safe)."""
     n = F.size("shingles")
-    plen = (n - F.ceil(n * F.lit(float(threshold))) + 1).cast("int")
+    plen = (n - F.ceil(n * F.lit(float(threshold)) - F.lit(1e-9)) + 1).cast("int")
     return sh.select(
         F.col("id"), F.explode(F.slice("shingles", F.lit(1), plen)).alias("s")
     )

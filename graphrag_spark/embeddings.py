@@ -158,11 +158,16 @@ def repair_embeddings(
     st = validate_embeddings(df, vec_col, dim)
     good = st.filter(F.col("embedding_status") == "ok").drop("embedding_status")
     bad = st.filter(F.col("embedding_status") != "ok").drop("embedding_status")
-    distinct_texts = bad.select(F.md5(text_col).alias("_h"), F.col(text_col)).dropDuplicates(["_h"])
+    # join key coalesces NULL text to '': md5(NULL) is NULL and a NULL
+    # key would silently DROP those rows from the inner join below —
+    # every input row must come back repaired-or-unchanged. A NULL text
+    # embeds like an empty one (the encoder's zero-gram unit vector).
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    distinct_texts = bad.select(h.alias("_h"), F.col(text_col)).dropDuplicates(["_h"])
     fixed_vecs = _embed_df(distinct_texts, "_h", text_col, dim)
     fixed = (
         bad.drop(vec_col)
-        .withColumn("_h", F.md5(text_col))
+        .withColumn("_h", h)
         .join(fixed_vecs.withColumnRenamed("embedding", vec_col), "_h")
         .drop("_h")
     )

@@ -163,8 +163,11 @@ def entity_similarity_edges(
     else:
         emb = embed_entities(nodes)
     if emb.count() > exact_max_rows:
+        from .embeddings import EMBED_DIM
+
         cand = lsh_bucket_pairs(
-            emb, threshold=threshold, id_col="entity_id", vec_col="embedding"
+            emb, threshold=threshold, id_col="entity_id", vec_col="embedding",
+            dim=EMBED_DIM,  # engine vectors have a known dim: skip the probe job
         )
         sym = cand.unionByName(
             cand.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity")

@@ -49,10 +49,13 @@ def retrieve_documents(
         analysis["complexity"] == "complex"
         or analysis["query_type"] == "comparative"
     ):
-        k = graph_query.adjusted_top_k(top_k, analysis)
+        # pass the RAW top_k: retrieve_with_graph_expansion's internal
+        # ``retrieve`` call applies adjusted_top_k itself, so widening
+        # here as well would apply the complexity bump twice
+        # (comparative 5 -> 12 instead of the reference's 10)
         return graph_query.retrieve_with_graph_expansion(
             chunks, nodes, mentions, triples, query_text,
-            mode=retrieval_mode, top_k=k,
+            mode=retrieval_mode, top_k=top_k,
         ).select("chunk_id", "source", F.col("similarity").alias("score"))
     return graph_query.retrieve(
         chunks, nodes, mentions, triples, query_text,

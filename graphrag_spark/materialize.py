@@ -123,24 +123,9 @@ def build_mentions(normalized_mentions: DataFrame, cmap: DataFrame, broadcast_ma
     )
 
 
-def build_triples(normalized_rels: DataFrame, cmap: DataFrame, broadcast_map: bool = True) -> DataFrame:
-    """RELATED_TO analog with undirected-pair last-writer-wins semantics
-    (core/graph_db.py:1005-1036; entity_extraction.py:564-571).
-
-    Both endpoints must resolve to surviving canonical entities (E12
-    semijoin — inner joins here). Pair key = unordered canonical names;
-    survivor = max (strength, description, direction, chunk).
-    """
-    cm = cmap.select("name_key", "canonical_name").distinct()
-    r = (
-        normalized_rels.withColumn("src_key", F.lower(F.col("source")))
-        .withColumn("dst_key", F.lower(F.col("target")))
-    )
-    resolved = (
-        r.join(_hint(cm.withColumnRenamed("name_key", "src_key").withColumnRenamed("canonical_name", "subj"), broadcast_map), "src_key")
-        .join(_hint(cm.withColumnRenamed("name_key", "dst_key").withColumnRenamed("canonical_name", "obj"), broadcast_map), "dst_key")
-        .filter(F.col("subj") != F.col("obj"))
-    )
+def _pair_group(resolved: DataFrame) -> DataFrame:
+    """(subj, obj, strength, description, chunk_id) -> undirected-pair
+    last-writer-wins triples (shared by both resolution strategies)."""
     paired = resolved.select(
         F.least(F.upper("subj"), F.upper("obj")).alias("pair_lo"),
         F.greatest(F.upper("subj"), F.upper("obj")).alias("pair_hi"),
@@ -169,6 +154,80 @@ def build_triples(normalized_rels: DataFrame, cmap: DataFrame, broadcast_map: bo
             "n_observations",
         )
     )
+
+
+def build_triples(normalized_rels: DataFrame, cmap: DataFrame, broadcast_map: bool = True) -> DataFrame:
+    """RELATED_TO analog with undirected-pair last-writer-wins semantics
+    (core/graph_db.py:1005-1036; entity_extraction.py:564-571).
+
+    Both endpoints must resolve to surviving canonical entities (E12
+    semijoin — inner joins here). Pair key = unordered canonical names;
+    survivor = max (strength, description, direction, chunk).
+    """
+    cm = cmap.select("name_key", "canonical_name").distinct()
+    r = (
+        normalized_rels.withColumn("src_key", F.lower(F.col("source")))
+        .withColumn("dst_key", F.lower(F.col("target")))
+    )
+    resolved = (
+        r.join(_hint(cm.withColumnRenamed("name_key", "src_key").withColumnRenamed("canonical_name", "subj"), broadcast_map), "src_key")
+        .join(_hint(cm.withColumnRenamed("name_key", "dst_key").withColumnRenamed("canonical_name", "obj"), broadcast_map), "dst_key")
+        .filter(F.col("subj") != F.col("obj"))
+    )
+    return _pair_group(resolved)
+
+
+def surface_to_canonical_map(smap: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Pre-composed surface -> canonical-name map (r3 VERDICT item 2):
+    smap resolves raw surface -> normalized name (normalize.py) and
+    cmap resolves lower(normalized) -> canonical survivor; composing
+    them once (both are vocabulary-bounded and usually
+    driver-materialized) lets ``build_triples_fused`` resolve each rel
+    endpoint with ONE broadcast join instead of two over the
+    O(corpus)-sized expanded pair frame — 2 joins total instead of 4.
+
+    Inner-join composition preserves the original semantics exactly:
+    surfaces normalizing to '' or to a low-value-filtered name have no
+    cmap row (the E12 semijoin), and same-canonical endpoint pairs are
+    dropped by the caller's subj != obj filter, which subsumes
+    normalize_rels' source != target pre-filter.
+
+    Driver-materialized when both inputs are provably small, so joins
+    against it never re-execute the composition; falls back (flagged,
+    like the surface map itself) past the cap."""
+    from .normalize import _materialize_small
+
+    names = smap.select(
+        F.col("name").alias("surface"), F.lower("norm_name").alias("name_key")
+    ).distinct()
+    cm = cmap.select("name_key", "canonical_name").distinct()
+    composed = names.join(cm, "name_key").select("surface", "canonical_name")
+    if getattr(smap, "_graphrag_materialized", True):
+        return _materialize_small(composed, "surface_to_canonical")
+    composed._graphrag_materialized = False  # type: ignore[attr-defined]
+    return composed
+
+
+def build_triples_fused(rels_raw: DataFrame, s2c: DataFrame, broadcast_map: bool = True) -> DataFrame:
+    """``build_triples`` semantics straight from RAW rel rows using the
+    pre-composed surface->canonical map: one broadcast join per
+    endpoint over the expanded pair frame (the 100 TB hot path — the
+    pair frame is O(corpus) while s2c is vocabulary-bounded).
+    Equivalence with normalize_rels + build_triples is pytest-asserted
+    and covered by the kg_triples full-recompute oracle."""
+    resolved = (
+        rels_raw.join(
+            _hint(s2c.withColumnRenamed("surface", "name").withColumnRenamed("canonical_name", "subj"), broadcast_map),
+            "name",
+        )
+        .join(
+            _hint(s2c.withColumnRenamed("surface", "type_or_target").withColumnRenamed("canonical_name", "obj"), broadcast_map),
+            "type_or_target",
+        )
+        .filter(F.col("subj") != F.col("obj"))
+        .select("subj", "obj", F.col("score").alias("strength"), "description", "chunk_id")
+    )
+    return _pair_group(resolved)
 
 
 def write_table(

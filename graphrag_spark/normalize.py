@@ -192,12 +192,35 @@ def _materialize_small(df: DataFrame, context: str) -> DataFrame:
     as a literal, so broadcast joins against it never re-execute its
     (scan + shuffle) subtree — AQE otherwise re-runs that subtree once
     per downstream query stage. The surface map is bounded by the alias
-    vocabulary (O(10^4) rows regardless of corpus size); the guard
-    protects against an extractor emitting unbounded junk."""
+    vocabulary (O(10^4) rows regardless of corpus size).
+
+    Graceful degradation (r3 VERDICT item 5): if the map exceeds the
+    cap — an open-vocabulary extractor at 100x corpus scale — the job
+    must DEGRADE, not abort: the original (distributed) frame is
+    returned unchanged, flagged so ``maybe_broadcast`` skips the
+    broadcast hint and downstream joins fall back to shuffle joins
+    (AQE may still auto-broadcast genuinely small subtrees)."""
     rows = df.limit(_MAX_SURFACE_MAP_ROWS + 1).collect()
     if len(rows) > _MAX_SURFACE_MAP_ROWS:
-        raise ValueError(f"{context}: surface map exceeds {_MAX_SURFACE_MAP_ROWS} rows")
-    return df.sparkSession.createDataFrame(rows, df.schema)
+        import warnings
+
+        warnings.warn(
+            f"{context}: surface map exceeds {_MAX_SURFACE_MAP_ROWS} rows; "
+            "falling back to shuffle joins (no driver materialization)",
+            stacklevel=2,
+        )
+        df._graphrag_materialized = False  # type: ignore[attr-defined]
+        return df
+    out = df.sparkSession.createDataFrame(rows, df.schema)
+    out._graphrag_materialized = True  # type: ignore[attr-defined]
+    return out
+
+
+def maybe_broadcast(df: DataFrame):
+    """Broadcast hint for driver-materialized maps; identity for frames
+    that fell back past the materialization cap (forcing a broadcast of
+    an unbounded map would OOM the driver/executors)."""
+    return F.broadcast(df) if getattr(df, "_graphrag_materialized", True) else df
 
 
 def normalize_mentions(mentions_raw: DataFrame, smap: DataFrame | None = None) -> DataFrame:
@@ -207,7 +230,7 @@ def normalize_mentions(mentions_raw: DataFrame, smap: DataFrame | None = None) -
     share one map across mention and rel normalization."""
     if smap is None:
         smap = materialize_surface_map(mentions_raw)
-    df = mentions_raw.join(F.broadcast(smap), ["name", "type_or_target"]).select(
+    df = mentions_raw.join(maybe_broadcast(smap), ["name", "type_or_target"]).select(
         "chunk_id",
         "doc_id",
         F.col("norm_name").alias("name"),
@@ -240,6 +263,7 @@ def normalize_rels(rels_raw: DataFrame, smap: DataFrame | None = None) -> DataFr
     needed to discover surfaces."""
     if smap is not None:
         names = smap.select(F.col("name").alias("surface"), F.col("norm_name").alias("norm")).distinct()
+        small = getattr(smap, "_graphrag_materialized", True)
     else:
         names = _materialize_small(
             rels_raw.select(F.col("name").alias("surface"))
@@ -248,11 +272,15 @@ def normalize_rels(rels_raw: DataFrame, smap: DataFrame | None = None) -> DataFr
             .withColumn("norm", norm_name_col(F.col("surface"))),
             "normalize_rels",
         )
+        small = getattr(names, "_graphrag_materialized", True)
     src_map = names.select(F.col("surface").alias("name"), F.col("norm").alias("source"))
     dst_map = names.select(F.col("surface").alias("type_or_target"), F.col("norm").alias("target"))
+    # derived frames are new objects: propagate the materialization flag
+    src_map._graphrag_materialized = small  # type: ignore[attr-defined]
+    dst_map._graphrag_materialized = small  # type: ignore[attr-defined]
     return (
-        rels_raw.join(F.broadcast(src_map), "name")
-        .join(F.broadcast(dst_map), "type_or_target")
+        rels_raw.join(maybe_broadcast(src_map), "name")
+        .join(maybe_broadcast(dst_map), "type_or_target")
         .select(
             "chunk_id",
             "doc_id",

@@ -70,6 +70,11 @@ def run_in_memory(spark: SparkSession, docs: DataFrame, chunk_size: int = chunki
     rels_norm = normalize.normalize_rels(rels_raw, smap)
     entities = linking.link_entities(linking.dedup_entities(mentions_norm), linking.alias_dictionary(spark))
     cmap = materialize.canonical_map(entities).persist()
+    # triples resolve straight from raw rels via the pre-composed
+    # surface->canonical map: 2 broadcast joins over the O(corpus) pair
+    # frame instead of 4 (r3 VERDICT item 2); rels_norm stays available
+    # lazily for consumers of the normalized view
+    s2c = materialize.surface_to_canonical_map(smap, cmap)
     return {
         "chunks": chunks,
         "extracted": mentions_raw.unionByName(rels_raw),
@@ -79,7 +84,7 @@ def run_in_memory(spark: SparkSession, docs: DataFrame, chunk_size: int = chunki
         "rels_norm": rels_norm,
         "nodes": materialize.build_nodes(cmap),
         "mentions": materialize.build_mentions(mentions_norm, cmap),
-        "triples": materialize.build_triples(rels_norm, cmap),
+        "triples": materialize.build_triples_fused(rels_raw, s2c),
     }
 
 
@@ -248,7 +253,6 @@ class KGPipeline:
         rels_raw = extraction.rels_from_occurrences(extracted)
         smap = normalize.materialize_surface_map(extracted)
         mentions_norm = normalize.normalize_mentions(mentions_raw, smap)
-        rels_norm = normalize.normalize_rels(rels_raw, smap)
 
         entities, h_ent = self._run_stage(
             "entities",
@@ -278,9 +282,15 @@ class KGPipeline:
             lambda: materialize.build_mentions(mentions_norm, cmap, broadcast_map=bc_map),
             resume=resume, bucket_col="entity_id",
         )
+        # fused surface->canonical resolution (2 joins instead of 4 over
+        # the pair frame); s2c inherits smap's materialization state so
+        # the open-vocabulary fallback stays a shuffle join. Composed
+        # inside the stage lambda so a resume hit skips its collect.
         triples, _ = self._run_stage(
             "triples", h_cmap,
-            lambda: materialize.build_triples(rels_norm, cmap, broadcast_map=bc_map),
+            lambda: materialize.build_triples_fused(
+                rels_raw, materialize.surface_to_canonical_map(smap, cmap), broadcast_map=bc_map
+            ),
             doc_col=None, resume=resume, bucket_col="subj",
         )
 

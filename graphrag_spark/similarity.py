@@ -229,16 +229,30 @@ def lsh_candidate_pairs(
     rows_per_band: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """The DETERMINISTIC candidate stage of sign-random-projection LSH:
     (src, dst) pairs sharing at least one full band bucket (seeded
     hyperplanes — the same input always yields the same candidate set,
     which is what the driver oracle brute-force-verifies). Exposed
     separately so callers/oracles can check the exact-cosine
-    verification independently of the probabilistic recall."""
+    verification independently of the probabilistic recall.
+
+    Pass ``dim`` (the vector dimensionality) when known — it saves the
+    one-row ``first()`` probe job per invocation; when omitted, the
+    probe runs once and an empty input returns an empty pair frame
+    (mirroring the minhash empty-input guard)."""
     n_planes = bands * rows_per_band
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0])
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        if first is None or first[0] is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], T.StructType([
+                    T.StructField("src", embeddings.schema[id_col].dataType),
+                    T.StructField("dst", embeddings.schema[id_col].dataType),
+                ])
+            )
+        dim = len(first[0])
     planes = _hyperplanes(dim, n_planes)
     planes_b = embeddings.sparkSession.sparkContext.broadcast(planes)
 
@@ -305,6 +319,7 @@ def lsh_bucket_pairs(
     threshold: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN near-pair search via sign-random-projection LSH.
 
@@ -316,7 +331,8 @@ def lsh_bucket_pairs(
     similarity-edge construction.
     """
     candidates = lsh_candidate_pairs(
-        embeddings, bands=bands, rows_per_band=rows_per_band, id_col=id_col, vec_col=vec_col
+        embeddings, bands=bands, rows_per_band=rows_per_band, id_col=id_col,
+        vec_col=vec_col, dim=dim,
     )
     return verify_candidates_cosine(
         candidates, embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col

@@ -238,14 +238,31 @@ def incremental_fulltext_index(
     batches would duplicate postings — feed the stream through
     ``stream_dedup`` upstream when the source can replay.
 
-    ``_meta`` (the pruning modulus) is written once at setup, so a
-    reader can never prune with a mismatched bucket count."""
+    ``_meta`` (the pruning modulus) is written once at FIRST setup and
+    validated on every restart: existing batch dirs are bucketed under
+    the original modulus, so restarting with a different ``n_buckets``
+    would silently drop matches for readers pruning with the new one —
+    a mismatch raises instead of overwriting."""
     from .graph_query import N_TERM_BUCKETS, build_fulltext_postings
 
     nb = int(n_buckets or N_TERM_BUCKETS)
-    spark.createDataFrame([(nb,)], "n_buckets int").coalesce(1).write.mode(
-        "overwrite"
-    ).json(index_dir + "/_meta")
+    try:
+        existing = spark.read.json(index_dir + "/_meta").collect()
+    except Exception:
+        existing = []
+    if existing:
+        old_nb = int(existing[0]["n_buckets"])
+        if old_nb != nb:
+            raise ValueError(
+                f"incremental_fulltext_index: index at {index_dir} was built "
+                f"with n_buckets={old_nb}; restarting with n_buckets={nb} "
+                "would misbucket existing batches (readers prune with one "
+                "modulus). Rebuild the index or pass the original value."
+            )
+    else:
+        spark.createDataFrame([(nb,)], "n_buckets int").coalesce(1).write.mode(
+            "overwrite"
+        ).json(index_dir + "/_meta")
 
     stream = (
         spark.readStream.schema(SPANS_SCHEMA)

@@ -284,3 +284,27 @@ def test_ngram_prefix_filter_bounds_hot_shingle(spark):
             if j >= t:
                 brute[(a, b)] = round(j, 6)
     assert got == brute and (0, 900) in got
+
+
+def test_prefix_length_exact_at_float_boundary(spark):
+    """ADVICE r3: ceil over the float product 0.55*20 =
+    11.000000000000002 would give prefix 9 instead of the lemma's 10 —
+    the epsilon inside _prefix_index must keep the full bound."""
+    from graphrag_spark.dedup import _prefix_index
+
+    sh = spark.createDataFrame(
+        [("d0", [float(i) for i in range(1, 21)])], "id string, shingles array<double>"
+    )
+    # |A|=20, t=0.55: prefix = 20 - ceil(11.0) + 1 = 10
+    assert _prefix_index(sh, 0.55).count() == 10
+    # and an exactly-at-threshold pair is still found end-to-end:
+    # |A|=|B|=20, |A∩B|=15 -> J = 15/25 = 0.6 exactly
+    a = [float(i) for i in range(1, 21)]
+    b = [float(i) for i in range(6, 26)]
+    sh2 = spark.createDataFrame(
+        [("a", a), ("b", b)], "id string, shingles array<double>"
+    )
+    from graphrag_spark.dedup import ngram_jaccard_pairs_from_shingles
+
+    got = ngram_jaccard_pairs_from_shingles(sh2, threshold=0.6).collect()
+    assert [(r["src"], r["dst"], r["jaccard"]) for r in got] == [("a", "b", 0.6)]

@@ -108,3 +108,28 @@ def test_repair_embeddings_touches_only_bad_rows(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_repair_embeddings_keeps_null_text_rows(spark):
+    """ADVICE r3: a bad row whose text is NULL must come back from the
+    repair (md5(NULL) would NULL the join key and drop it); it embeds
+    like an empty text (the encoder's zero-gram unit vector)."""
+    import pyspark.sql.functions as F
+
+    from graphrag_spark.embeddings import embed_texts_np, repair_embeddings
+
+    df = spark.createDataFrame(
+        [
+            ("g", "good text", [0.0] * 63 + [1.0]),
+            ("n", None, None),
+            ("e", "", None),
+        ],
+        "id string, text string, embedding array<double>",
+    )
+    repaired = repair_embeddings(df, "id", "text")
+    rows = {r["id"]: r for r in repaired.collect()}
+    assert set(rows) == {"g", "n", "e"}
+    empty_vec = [float(x) for x in embed_texts_np([""])[0]]
+    assert rows["n"]["embedding"] == empty_vec
+    assert rows["e"]["embedding"] == empty_vec
+    assert rows["g"]["embedding"] == [0.0] * 63 + [1.0]

@@ -63,3 +63,22 @@ def test_graph_rag_query_state(kg):
 def test_graph_rag_follow_up_flag(kg):
     out = graph_rag_query(*kg, "tell me more about it")
     assert out["analysis"]["is_follow_up"] is True
+
+
+def test_expansion_widening_applied_once(kg):
+    """ADVICE r3 (medium): the expansion route must widen top_k exactly
+    once — retrieve_documents passes the RAW top_k and the internal
+    ``retrieve`` applies adjusted_top_k. The initial (non-expansion)
+    rows of the expanded result therefore equal the plain dispatcher's
+    rows for the same raw top_k."""
+    from graphrag_spark import graph_query
+
+    q = "compare partnership versus rollout"
+    got = retrieve_documents(*kg, q, top_k=5)
+    base = {
+        r["chunk_id"]
+        for r in got.collect()
+        if r["source"] not in ("entity_expansion", "chunk_expansion")
+    }
+    want = {r["chunk_id"] for r in graph_query.retrieve(*kg, q, top_k=5).collect()}
+    assert base == want

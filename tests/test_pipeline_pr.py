@@ -199,3 +199,55 @@ def test_catalog_backend_pipeline_and_resume(spark, corpus_path, tmp_path_factor
         assert t_cat == t_pq
     finally:
         spark.sql("DROP DATABASE IF EXISTS kgcat CASCADE")
+
+
+def test_fused_triples_equivalent(spark, corpus_path):
+    """r3 VERDICT item 2: the fused surface->canonical resolution (2
+    broadcast joins over the pair frame) must be row-identical to the
+    two-step normalize_rels + build_triples path on every column."""
+    from graphrag_spark import materialize
+    from graphrag_spark.pipeline import run_in_memory
+
+    out = run_in_memory(spark, spark.read.parquet(corpus_path))
+    fused = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["strength"], tuple(r["source_chunks"]), r["n_observations"]
+        )
+        for r in out["triples"].collect()
+    }
+    legacy_df = materialize.build_triples(out["rels_norm"], out["cmap"])
+    legacy = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["strength"], tuple(r["source_chunks"]), r["n_observations"]
+        )
+        for r in legacy_df.collect()
+    }
+    assert fused == legacy
+
+
+def test_surface_map_cap_fallback(spark, corpus_path, monkeypatch):
+    """r3 VERDICT item 5: past the materialization cap the pipeline
+    degrades to shuffle joins (flagged, warned) instead of aborting —
+    and produces identical triples."""
+    import warnings
+
+    from graphrag_spark import normalize
+    from graphrag_spark.pipeline import run_in_memory
+
+    docs = spark.read.parquet(corpus_path)
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in run_in_memory(spark, docs)["triples"].select("subj", "pred", "obj").collect()
+    }
+
+    monkeypatch.setattr(normalize, "_MAX_SURFACE_MAP_ROWS", 5)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = run_in_memory(spark, docs)
+        smap_like = out["triples"]
+        got = {
+            (r["subj"], r["pred"], r["obj"])
+            for r in smap_like.select("subj", "pred", "obj").collect()
+        }
+    assert any("exceeds 5 rows" in str(w.message) for w in rec)
+    assert got == want

@@ -141,3 +141,14 @@ def test_pairwise_topk_global_routes_to_blocked(spark, emb_df, vecs):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+def test_lsh_candidate_pairs_empty_input(spark):
+    """ADVICE r3: an empty embeddings frame returns an empty candidate
+    frame instead of raising on the dimension probe."""
+    from graphrag_spark.similarity import lsh_candidate_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert lsh_candidate_pairs(empty).count() == 0
+    # with dim given, no probe job runs at all and the plan is lazy
+    assert lsh_candidate_pairs(empty, dim=16).count() == 0

@@ -213,3 +213,25 @@ def test_incremental_similarity_edges_match_batch(spark, corpus_path, tmp_path):
         for r in spark.read.parquet(out).select("src", "dst", "similarity").collect()
     }
     assert got == want and got
+
+
+def test_incremental_fulltext_meta_mismatch_raises(spark, tmp_path):
+    """ADVICE r3: restarting the fulltext stream with a different
+    n_buckets must raise (old batch dirs are bucketed under the old
+    modulus; readers would silently drop matches), not overwrite _meta."""
+    import pytest as _pytest
+
+    from graphrag_spark.streaming import incremental_fulltext_index
+
+    index_dir = str(tmp_path / "ft_index")
+    spark.createDataFrame([(8,)], "n_buckets int").coalesce(1).write.json(
+        index_dir + "/_meta"
+    )
+    with _pytest.raises(ValueError, match="n_buckets=8"):
+        incremental_fulltext_index(
+            spark,
+            str(tmp_path / "stream_src"),
+            index_dir,
+            str(tmp_path / "ckpt"),
+            n_buckets=16,
+        )
