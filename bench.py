@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "lsh_embedding_dups",
     "media_features",
+    # query-side serving operators (r3 VERDICT item 4): their untimed
+    # warm-up pays the one-time KG build/export at this sf (memoized
+    # per process); the timed runs measure the per-query serving cost
+    "kg_hybrid_retrieval",
+    "kg_fulltext",
+    "kg_decay_expansion",
 ]
 
 

@@ -239,6 +239,106 @@ def parse_extraction_response(response: str) -> tuple[list[dict], list[dict]]:
     return entities, rels
 
 
+def extraction_prompt(text: str, entity_types: tuple[str, ...] | None = None) -> str:
+    """The reference's extraction prompt (core/entity_extraction.py:
+    340-367 _get_extraction_prompt), verbatim contract: instructs the
+    model to emit the pipe-delimited ENTITIES/RELATIONSHIPS format that
+    ``parse_extraction_response`` consumes."""
+    from .vocab import CANONICAL_TYPES
+
+    entity_types_str = ", ".join(entity_types or sorted(CANONICAL_TYPES))
+    return f"""You are an expert at extracting entities and relationships from text.
+
+**Task**: Extract all relevant entities and relationships from the given text.
+
+**Entity Types**: Focus on these types: {entity_types_str}
+
+**Instructions**:
+1. Extract entities with: name, type, description, importance (0.0-1.0)
+2. Extract relationships with: source entity, target entity, description, strength (0.0-1.0)
+3. Use exact entity names from the text
+4. Provide detailed descriptions
+5. Rate importance/strength based on context significance
+
+**Output Format**:
+ENTITIES:
+- Name: [entity_name] | Type: [entity_type] | Description: [description] | Importance: [0.0-1.0]
+
+RELATIONSHIPS:
+- Source: [source_entity] | Target: [target_entity] | Description: [description] | Strength: [0.0-1.0]
+
+**Text to analyze**:
+{text}
+
+**Output**:"""
+
+
+def llm_extractor(respond_fn, prompt_fn=extraction_prompt):
+    """Pluggable-extractor adapter (r3 VERDICT item 3): wrap any
+    text->text response function (a batched LLM client, a cached
+    replay, a test fake) into a pipeline extractor. The returned
+    callable maps the chunks frame through one Arrow-batched
+    ``mapInPandas`` pass — same distribution shape as the deterministic
+    extractor — building the reference's prompt per chunk
+    (core/entity_extraction.py:448-472 ``_extract_from_chunk``) and
+    parsing responses through the pipe-format contract
+    (``parse_extraction_response``, :389-434). Emits long-format
+    EXTRACT_SCHEMA rows (``output_format = 'long'``), which
+    ``run_in_memory`` / ``KGPipeline`` route through the
+    normalize -> link -> canonicalize -> materialize path.
+
+    ``respond_fn`` runs inside executors: it must be picklable and
+    safe to call concurrently from multiple worker processes (use a
+    module-level client, not a captured connection)."""
+
+    def extract(chunks_df: DataFrame) -> DataFrame:
+        from .session import ensure_parallelism
+
+        chunks_df = ensure_parallelism(chunks_df)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                c_chunk, c_doc, c_kind, c_name, c_tt, c_score, c_desc = [], [], [], [], [], [], []
+                for chunk_id, doc_id, content in zip(pdf["chunk_id"], pdf["doc_id"], pdf["content"]):
+                    ents, rels = parse_extraction_response(
+                        respond_fn(prompt_fn(content or ""))
+                    )
+                    for e in ents:
+                        c_chunk.append(chunk_id)
+                        c_doc.append(doc_id)
+                        c_kind.append("entity")
+                        c_name.append(e["name"])
+                        c_tt.append(e["type"])
+                        c_score.append(e["importance"])
+                        c_desc.append(e["description"])
+                    for r in rels:
+                        c_chunk.append(chunk_id)
+                        c_doc.append(doc_id)
+                        c_kind.append("rel")
+                        c_name.append(r["source"])
+                        c_tt.append(r["target"])
+                        c_score.append(r["strength"])
+                        c_desc.append(r["description"])
+                yield pd.DataFrame(
+                    {
+                        "chunk_id": c_chunk,
+                        "doc_id": c_doc,
+                        "kind": c_kind,
+                        "name": c_name,
+                        "type_or_target": c_tt,
+                        "score": c_score,
+                        "description": c_desc,
+                    }
+                )
+
+        return chunks_df.select("chunk_id", "doc_id", "content").mapInPandas(
+            gen, schema=EXTRACT_SCHEMA
+        )
+
+    extract.output_format = "long"
+    return extract
+
+
 OCCURRENCE_SCHEMA = T.StructType(
     [
         T.StructField("chunk_id", T.StringType()),

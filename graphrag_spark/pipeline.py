@@ -39,16 +39,35 @@ LINEAGE_SCHEMA = (
 )
 
 
-def run_in_memory(spark: SparkSession, docs: DataFrame, chunk_size: int = chunking.CHUNK_SIZE, overlap: int = chunking.CHUNK_OVERLAP) -> dict[str, DataFrame]:
+def run_in_memory(
+    spark: SparkSession,
+    docs: DataFrame,
+    chunk_size: int = chunking.CHUNK_SIZE,
+    overlap: int = chunking.CHUNK_OVERLAP,
+    extractor=None,
+) -> dict[str, DataFrame]:
     """Checkpoint-free pipeline composition (tests / flagship query):
     same stages as KGPipeline.run but as one lazy DataFrame graph.
 
-    Caching strategy (the scaling-critical choice): ONE Python
-    extraction pass emits mention *occurrences* (with positions) and is
-    the only cached intermediate; per-chunk entity rows and the
-    quadratic relationship expansion are derived relationally
-    (JVM-side, map-side partial aggregation) — bit-equivalent to the
-    det_extract contract path (tested)."""
+    ``extractor`` (r3 VERDICT item 3) plugs a custom extraction stage —
+    typically ``extraction.llm_extractor(respond_fn)``, the reference's
+    batched LLM call (core/entity_extraction.py:448-472) — in place of
+    the deterministic occurrence matcher. A custom extractor is a
+    callable ``chunks_df -> DataFrame`` emitting either long-format
+    EXTRACT_SCHEMA rows (``output_format = 'long'``, the LLM contract)
+    or OCCURRENCE_SCHEMA rows (``output_format = 'occurrences'``).
+    The default (None) path is unchanged: ONE Python extraction pass
+    emits mention *occurrences* (with positions) and is the only cached
+    intermediate; per-chunk entity rows and the quadratic relationship
+    expansion are derived relationally (JVM-side, map-side partial
+    aggregation) — bit-equivalent to the det_extract contract path
+    (tested).
+
+    Long-format extractors route rels through the self-discovering
+    normalize_rels + build_triples path: an open-vocabulary LLM may
+    emit relationship targets that never appear as entities, so the
+    rel surface set cannot be assumed a subset of the mention surface
+    map (the occurrence contract guarantees that; an LLM does not)."""
     from .embeddings import embed_chunks
 
     chunks_base = chunking.with_quality(
@@ -60,31 +79,44 @@ def run_in_memory(spark: SparkSession, docs: DataFrame, chunk_size: int = chunki
     chunks = chunks_base.join(
         embed_chunks(chunks_base).select("chunk_id", "embedding"), "chunk_id"
     )
-    occ = extraction.extract_occurrences(chunks_base).persist()
-    mentions_raw = extraction.entities_from_occurrences(occ)
-    rels_raw = extraction.rels_from_occurrences(occ)
-    # surface map from raw occurrences: same distinct surface set as
-    # mentions_raw but skips re-running its groupBy
-    smap = normalize.materialize_surface_map(occ)
+    fmt = getattr(extractor, "output_format", "occurrences") if extractor else "occurrences"
+    if fmt == "occurrences":
+        occ = (extractor or extraction.extract_occurrences)(chunks_base).persist()
+        mentions_raw = extraction.entities_from_occurrences(occ)
+        rels_raw = extraction.rels_from_occurrences(occ)
+        extracted = mentions_raw.unionByName(rels_raw)
+        # surface map from raw occurrences: same distinct surface set as
+        # mentions_raw but skips re-running its groupBy
+        smap = normalize.materialize_surface_map(occ)
+    else:
+        occ = extractor(chunks_base).persist()
+        mentions_raw = occ.filter(F.col("kind") == "entity")
+        rels_raw = occ.filter(F.col("kind") == "rel")
+        extracted = occ
+        smap = normalize.materialize_surface_map(mentions_raw)
     mentions_norm = normalize.normalize_mentions(mentions_raw, smap).persist()
-    rels_norm = normalize.normalize_rels(rels_raw, smap)
+    rels_norm = normalize.normalize_rels(rels_raw, smap if fmt == "occurrences" else None)
     entities = linking.link_entities(linking.dedup_entities(mentions_norm), linking.alias_dictionary(spark))
     cmap = materialize.canonical_map(entities).persist()
-    # triples resolve straight from raw rels via the pre-composed
-    # surface->canonical map: 2 broadcast joins over the O(corpus) pair
-    # frame instead of 4 (r3 VERDICT item 2); rels_norm stays available
-    # lazily for consumers of the normalized view
-    s2c = materialize.surface_to_canonical_map(smap, cmap)
+    if fmt == "occurrences":
+        # triples resolve straight from raw rels via the pre-composed
+        # surface->canonical map: 2 broadcast joins over the O(corpus)
+        # pair frame instead of 4 (r3 VERDICT item 2); rels_norm stays
+        # available lazily for consumers of the normalized view
+        s2c = materialize.surface_to_canonical_map(smap, cmap)
+        triples = materialize.build_triples_fused(rels_raw, s2c)
+    else:
+        triples = materialize.build_triples(rels_norm, cmap)
     return {
         "chunks": chunks,
-        "extracted": mentions_raw.unionByName(rels_raw),
+        "extracted": extracted,
         "entities": entities,
         "cmap": cmap,
         "mentions_norm": mentions_norm,
         "rels_norm": rels_norm,
         "nodes": materialize.build_nodes(cmap),
         "mentions": materialize.build_mentions(mentions_norm, cmap),
-        "triples": materialize.build_triples_fused(rels_raw, s2c),
+        "triples": triples,
     }
 
 
@@ -104,6 +136,16 @@ class KGPipeline:
     # ("<prefix>.<stage>") instead of raw parquet dirs; see
     # materialize.write_table.
     iceberg_prefix: str | None = None
+    # Extractor seam (r3 VERDICT item 3): a callable chunks_df -> rows
+    # in EXTRACT_SCHEMA (output_format='long', e.g.
+    # extraction.llm_extractor(...)) or OCCURRENCE_SCHEMA
+    # (output_format='occurrences'). None = the deterministic matcher.
+    # ``extractor_tag`` names the extractor in the stage-hash
+    # fingerprint so resume never reuses stages extracted by a
+    # different extractor — REQUIRED to change when swapping extractors
+    # between runs against the same work_dir.
+    extractor: object = None
+    extractor_tag: str | None = None
     stage_times: dict[str, float] = field(default_factory=dict)
 
     # ------------------------------------------------------------------ util
@@ -121,6 +163,8 @@ class KGPipeline:
                 "chunk_overlap": self.chunk_overlap,
                 "salt_buckets": self.salt_buckets,
                 "corpus": self.corpus_path,
+                "extractor": self.extractor_tag
+                or ("det" if self.extractor is None else "custom"),
                 "v": 2,  # v2: chunks/nodes stages carry embedding columns
             },
             sort_keys=True,
@@ -244,14 +288,23 @@ class KGPipeline:
 
         # occurrence rows are the checkpointed extraction artifact —
         # ~5x fewer rows than the long entity+rel format, and the rel
-        # expansion is re-derived relationally on resume
+        # expansion is re-derived relationally on resume. A custom
+        # extractor (the seam) replaces this stage; its committed rows
+        # are whatever format it emits, tagged into the stage hash.
+        extract_fn = self.extractor or extraction.extract_occurrences
+        fmt = getattr(self.extractor, "output_format", "occurrences") if self.extractor else "occurrences"
         extracted, h_ex = self._run_stage(
-            "extracted", h_chunks, lambda: extraction.extract_occurrences(chunks), resume=resume
+            "extracted", h_chunks, lambda: extract_fn(chunks), resume=resume
         )
 
-        mentions_raw = extraction.entities_from_occurrences(extracted)
-        rels_raw = extraction.rels_from_occurrences(extracted)
-        smap = normalize.materialize_surface_map(extracted)
+        if fmt == "occurrences":
+            mentions_raw = extraction.entities_from_occurrences(extracted)
+            rels_raw = extraction.rels_from_occurrences(extracted)
+            smap = normalize.materialize_surface_map(extracted)
+        else:
+            mentions_raw = extracted.filter(F.col("kind") == "entity")
+            rels_raw = extracted.filter(F.col("kind") == "rel")
+            smap = normalize.materialize_surface_map(mentions_raw)
         mentions_norm = normalize.normalize_mentions(mentions_raw, smap)
 
         entities, h_ent = self._run_stage(
@@ -286,11 +339,19 @@ class KGPipeline:
         # the pair frame); s2c inherits smap's materialization state so
         # the open-vocabulary fallback stays a shuffle join. Composed
         # inside the stage lambda so a resume hit skips its collect.
-        triples, _ = self._run_stage(
-            "triples", h_cmap,
-            lambda: materialize.build_triples_fused(
+        # Long-format (LLM) extractors take the self-discovering
+        # normalize_rels path instead: their rel targets need not be a
+        # subset of the mention surface map (see run_in_memory).
+        if fmt == "occurrences":
+            build_triples = lambda: materialize.build_triples_fused(  # noqa: E731
                 rels_raw, materialize.surface_to_canonical_map(smap, cmap), broadcast_map=bc_map
-            ),
+            )
+        else:
+            build_triples = lambda: materialize.build_triples(  # noqa: E731
+                normalize.normalize_rels(rels_raw), cmap, broadcast_map=bc_map
+            )
+        triples, _ = self._run_stage(
+            "triples", h_cmap, build_triples,
             doc_col=None, resume=resume, bucket_col="subj",
         )
 

@@ -82,3 +82,34 @@ def test_expansion_widening_applied_once(kg):
     }
     want = {r["chunk_id"] for r in graph_query.retrieve(*kg, q, top_k=5).collect()}
     assert base == want
+
+
+def test_batch_retrieve_matches_per_query(kg):
+    """r3 VERDICT item 7: the set-oriented multi-query operator must
+    reproduce retrieve(mode='chunk_only') per query, including the
+    per-query complexity widening."""
+    from graphrag_spark import graph_query
+
+    chunks, nodes, mentions, triples = kg
+    qs = [
+        ("q1", "what is partnership"),
+        ("q2", "compare partnership versus rollout"),
+        ("q3", "why does the inspection relate to treatment and damage"),
+        ("q4", "alpha beta"),
+    ]
+    spark = chunks.sparkSession
+    qdf = spark.createDataFrame(qs, "query_id string, query string")
+    got = graph_query.batch_retrieve_chunks(chunks, qdf, top_k=5)
+    by_q: dict[str, set] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(
+            (r["chunk_id"], r["source"], r["score"])
+        )
+    for qid, text in qs:
+        want = {
+            (r["chunk_id"], r["source"], r["score"])
+            for r in graph_query.retrieve(
+                chunks, nodes, mentions, triples, text, mode="chunk_only", top_k=5
+            ).collect()
+        }
+        assert by_q.get(qid, set()) == want, qid

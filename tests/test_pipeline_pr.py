@@ -251,3 +251,50 @@ def test_surface_map_cap_fallback(spark, corpus_path, monkeypatch):
         }
     assert any("exceeds 5 rows" in str(w.message) for w in rec)
     assert got == want
+
+
+def test_pluggable_llm_extractor_pr(spark, corpus_path, doc_rows, tmp_path_factory):
+    """r3 VERDICT item 3: plugging a response-function extractor
+    (extraction.llm_extractor) into BOTH pipeline entry points passes
+    the P/R harness; the long-format route produces the same triples
+    as the deterministic occurrence route."""
+    from graphrag_spark.extraction import llm_extractor
+    from graphrag_spark.pipeline import run_in_memory
+
+    def _fake_llm(prompt: str) -> str:
+        # Test 'LLM': recovers the chunk text from the reference prompt
+        # template and answers with the deterministic extractor's
+        # pipe-format response, exercising the whole prompt -> response
+        # -> parse contract path. Nested so cloudpickle ships it BY
+        # VALUE to executors (a test-module global would be pickled by
+        # reference to a module workers can't import).
+        from graphrag_spark.extraction import det_extract_response
+
+        text = prompt.split("**Text to analyze**:\n", 1)[1].rsplit("\n\n**Output**:", 1)[0]
+        return det_extract_response(text)
+
+    docs = spark.read.parquet(corpus_path)
+    out = run_in_memory(spark, docs, extractor=llm_extractor(_fake_llm))
+    ours = triple_keys(
+        [r.asDict() for r in out["triples"].select("subj", "pred", "obj").collect()]
+    )
+    ref = triple_keys(run_oracle(doc_rows).triples)
+    p, r = precision_recall(ours, ref)
+    assert (p, r) == (1.0, 1.0), (p, r)
+
+    # staged pipeline through the same seam (+ resume under the tag)
+    wd = str(tmp_path_factory.mktemp("work_llm"))
+    pl = KGPipeline(
+        spark, corpus_path, wd,
+        extractor=llm_extractor(_fake_llm), extractor_tag="fake-llm",
+    )
+    out2 = pl.run()
+    t1 = {(x["subj"], x["pred"], x["obj"]) for x in out["triples"].select("subj", "pred", "obj").collect()}
+    t2 = {(x["subj"], x["pred"], x["obj"]) for x in out2["triples"].select("subj", "pred", "obj").collect()}
+    assert t1 == t2
+    pl2 = KGPipeline(
+        spark, corpus_path, wd,
+        extractor=llm_extractor(_fake_llm), extractor_tag="fake-llm",
+    )
+    pl2.run()
+    assert pl2.stage_times == {}, "resume under the extractor tag must skip all stages"
