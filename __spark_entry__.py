@@ -747,7 +747,12 @@ def _q_kg_vector_search(spark, sf_dir):
       (rag/nodes/generation.py:45-119) over both retrievals — entity-
       based rows explode into top-3 entity sources with 200-char
       previews, the rest become chunk sources carrying their ordered
-      contained-entity csv."""
+      contained-entity csv;
+    - 'batch:<qid>': batch_retrieve_chunks (set-oriented multi-query
+      retrieval, one broadcast cross join for the whole query table) —
+      the query texts+vectors are exported and the SQL twin recomputes
+      the per-query complexity widening, cosine scoring, and window
+      top-k from them."""
     from graphrag_spark import graph_query
     from graphrag_spark.embeddings import embed_texts_np
     from graphrag_spark.generation import prepare_sources
@@ -792,7 +797,32 @@ def _q_kg_vector_search(spark, sf_dir):
         .otherwise(F.col("contained_entities")).alias("label"),
         F.col("content").alias("preview"),
     )
-    return vec.unionByName(ent).unionByName(src)
+    batch_qs = [
+        ("bq0", "what is the quarterly partnership"),
+        ("bq1", "compare the rollout versus the baseline"),
+        ("bq2", "explain why the inspection and the treatment relate"),
+    ]
+    _export(
+        spark.createDataFrame(
+            [
+                (qid, q, [float(x) for x in embed_texts_np([q])[0]])
+                for qid, q in batch_qs
+            ],
+            "query_id string, query string, qvec array<double>",
+        ),
+        sf_dir,
+        "batch_queries",
+    )
+    bat = graph_query.batch_retrieve_chunks(
+        chunks, spark.createDataFrame(batch_qs, "query_id string, query string"), top_k=3
+    ).select(
+        F.concat(F.lit("batch:"), "query_id").alias("part"),
+        "chunk_id",
+        "score",
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("string").alias("preview"),
+    )
+    return vec.unionByName(ent).unionByName(src).unionByName(bat)
 
 
 def _q_kg_hybrid_merge(spark, sf_dir):
@@ -2150,6 +2180,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'src_chunk', chunk_id, score, coalesce(contained, ''), content
             FROM sbase WHERE source <> 'entity_based' OR contained IS NULL
+            UNION ALL
+            SELECT 'batch:' || query_id, chunk_id, score,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM (
+                SELECT b.query_id, c.chunk_id,
+                       round(list_cosine_similarity(c.embedding, b.qvec), 6) AS score,
+                       row_number() OVER (PARTITION BY b.query_id
+                           ORDER BY round(list_cosine_similarity(c.embedding, b.qvec), 6) DESC,
+                                    c.chunk_id) AS rk,
+                       b.k
+                FROM (
+                    SELECT query_id, qvec,
+                           CASE WHEN (len(regexp_split_to_array(q, '\\s+')) > 10
+                                      OR position('and' IN q) > 0
+                                      OR position('or' IN q) > 0)
+                                     OR {_any_hit(_qa.COMPARATIVE_WORDS)}
+                                THEN least(3 + 3, 10) ELSE 3 END AS k
+                    FROM (SELECT query_id, lower(query) AS q, qvec
+                          FROM {_p("batch_queries")})
+                ) b CROSS JOIN {_p("kg_chunks")} c
+            ) WHERE rk <= k
         """,
         "kg_decay_expansion": f"""
             WITH {_DECAY_CTES}
