@@ -78,7 +78,16 @@ def beam_search_paths(
 
     ``with_support`` additionally accumulates the traversed triples'
     source_chunks per path (the reference's per-hop supporting chunk
-    ids, graph_db.py:1714-1728) for path-provenance retrieval."""
+    ids, graph_db.py:1714-1728) for path-provenance retrieval.
+
+    Execution shape: the per-hop expansion + global beam runs
+    DISTRIBUTED (edges join a <=beam_size broadcast frame; the beam is
+    a TakeOrderedAndProject — parallel partial top-k per partition,
+    merged on the driver — never a single-partition window); the
+    surviving <=beam_size rows are collected per hop so the next hop
+    joins a literal frame and the final result is literal — one
+    bounded job per hop, no checkpoint lineage, no union-of-
+    checkpoints job at consumption."""
     spark = triples.sparkSession
     if with_support:
         sc = triples.select(
@@ -91,22 +100,24 @@ def beam_search_paths(
         ).filter(F.col("strength") >= min_edge_strength)
     else:
         edges = undirected_edges(triples).filter(F.col("strength") >= min_edge_strength)
+    # cached for the hop loop only (each hop re-reads it); the returned
+    # frame is literal, so the cache is dropped before returning
+    edges = edges.persist()
     imp = nodes.select(F.col("name").alias("dst"), "importance")
-    paths = spark.createDataFrame([(s,) for s in dict.fromkeys(seeds)], "tail string").select(
-        F.col("tail"),
-        F.array("tail").alias("path"),
-        F.lit(1.0).alias("path_score"),
-        F.array().cast("array<string>").alias("support"),
+    beam_schema = (
+        "tail string, path array<string>, path_score double, support array<string>"
     )
-    out = paths
+    beam_rows = [(s, [s], 1.0, []) for s in dict.fromkeys(seeds)]
+    out_rows = list(beam_rows)
     for _hop in range(max_hops):
+        paths = spark.createDataFrame(beam_rows, beam_schema)
         new_support = (
             F.array_distinct(F.concat("support", F.col("source_chunks")))
             if with_support
             else F.col("support")
         )
         expanded = (
-            edges.join(paths.withColumnRenamed("tail", "src"), "src")
+            edges.join(F.broadcast(paths.withColumnRenamed("tail", "src")), "src")
             .join(F.broadcast(imp), "dst", "left")
             .na.fill(0.0, ["importance"])
             .filter(~F.array_contains("path", F.col("dst")))
@@ -119,15 +130,17 @@ def beam_search_paths(
                 new_support.alias("support"),
             )
         )
-        # global per-hop beam = orderBy().limit() — TakeOrderedAndProject
-        # (parallel partial top-k per partition, merged on the driver),
-        # not a single-partition window over every expanded path
-        paths = (
-            expanded.orderBy(F.desc("path_score"), F.col("tail"), F.concat_ws(">", "path"))
+        beam_rows = [
+            (r["tail"], list(r["path"]), r["path_score"], list(r["support"]))
+            for r in expanded.orderBy(
+                F.desc("path_score"), F.col("tail"), F.concat_ws(">", "path")
+            )
             .limit(beam_size)
-            .localCheckpoint(eager=True)
-        )
-        out = out.unionByName(paths)
+            .collect()
+        ]
+        out_rows.extend(beam_rows)
+    edges.unpersist()
+    out = spark.createDataFrame(out_rows, beam_schema)
     cols = ["path", F.round("path_score", 6).alias("path_score")]
     if with_support:
         cols.append(F.sort_array("support").alias("support"))
@@ -258,49 +271,62 @@ def expand_with_strength_decay(
     per depth in frontier insertion order (a latency guard in its
     online loop); this set-oriented version caps the frontier
     deterministically by (score desc, name asc). Returns (name, score).
+
+    Execution shape (query-serving latency): the per-depth neighbor
+    top-k window runs DISTRIBUTED (an entity with 10^6 edges never
+    lands on the driver — the window bounds the result to
+    frontier x max_entity_connections rows before it leaves the
+    cluster); the score bookkeeping between depths is driver-side over
+    that bounded set, so the whole expansion is ONE bounded-collect
+    job per depth instead of a checkpoint + count + union chain —
+    per-iteration barriers no executor count amortizes (same rationale
+    as the canonicalize.py driver fast path). Final rounding/ordering
+    stays in Spark expressions so results are bit-identical to the
+    former all-DataFrame loop (oracle-checked).
     """
     spark = triples.sparkSession
-    edges = undirected_edges(triples)
+    # cached for the loop only: each depth re-reads the edge frame, and
+    # the function's result is a literal — unpersisted before return
+    edges = undirected_edges(triples).persist()
     # the reference holds seeds in a dict/set — duplicates collapse
-    scores = spark.createDataFrame(
-        [(s, 1.0) for s in dict.fromkeys(seeds)], "name string, score double"
-    )
-    frontier = scores
+    scores: dict[str, float] = {s: 1.0 for s in dict.fromkeys(seeds)}
+    frontier = dict(scores)
     for d in range(max_depth):
-        f = (
-            frontier.orderBy(F.desc("score"), "name")
-            .limit(max_entity_connections)
-            .select(F.col("name").alias("src"))
+        top_frontier = sorted(frontier.items(), key=lambda kv: (-kv[1], kv[0]))
+        f = spark.createDataFrame(
+            [(n,) for n, _ in top_frontier[:max_entity_connections]], "src string"
         )
         w = Window.partitionBy("src").orderBy(F.desc("strength"), "dst")
         rels = (
             edges.join(F.broadcast(f), "src")
             .withColumn("_rk", F.row_number().over(w))
             .filter((F.col("_rk") <= max_entity_connections) & (F.col("strength") >= threshold))
+            .select("dst", "strength")
+            .collect()
         )
         decay = 0.7 ** (d + 1)
-        cand = (
-            rels.groupBy(F.col("dst").alias("name"))
-            .agg(F.max("strength").alias("s"))
-            .select("name", (F.col("s") * F.lit(decay)).alias("cand_score"))
-        )
-        new = cand.join(scores, "name", "left_anti").select(
-            "name", F.col("cand_score").alias("score")
-        )
-        scores = (
-            scores.join(cand, "name", "left")
-            .select(
-                "name",
-                F.greatest("score", F.coalesce("cand_score", F.lit(0.0))).alias("score"),
-            )
-            .unionByName(new)
-            .localCheckpoint(eager=True)
-        )
+        cand: dict[str, float] = {}
+        for r in rels:
+            s = r["strength"]
+            if s > cand.get(r["dst"], float("-inf")):
+                cand[r["dst"]] = s
+        new: dict[str, float] = {}
+        for name, s in cand.items():
+            cs = s * decay
+            if name in scores:
+                scores[name] = max(scores[name], cs)
+            else:
+                new[name] = cs
+        scores.update(new)
         frontier = new
-        if scores.count() > 3 * max_entity_connections:
+        if len(scores) > 3 * max_entity_connections:
             break
+    edges.unpersist()
+    out = spark.createDataFrame(
+        sorted(scores.items()), "name string, score double"
+    )
     return (
-        scores.select("name", F.round("score", 6).alias("score"))
+        out.select("name", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), "name")
         .limit(2 * max_entity_connections)
     )
