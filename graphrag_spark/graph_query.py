@@ -248,12 +248,40 @@ def multi_hop_retrieval(
     )
 
 
+def build_entity_adjacency(
+    triples: DataFrame, max_connections: int = 20
+) -> DataFrame:
+    """Materialized per-entity top-k adjacency — the graph-serving
+    index (the Spark analog of the reference's Neo4j relationship
+    store, which serves `MATCH (e)-[r]-(x) ORDER BY r.strength LIMIT k`
+    from an index rather than a scan, core/graph_db.py:343-425).
+
+    One O(E) shuffle at build time produces (src, dst, strength, rk)
+    with rk = rank of dst among src's edges by (strength desc, dst
+    asc), bounded to ``max_connections`` rows per entity. Query-side
+    expansion then joins its broadcast frontier against this bounded
+    table instead of windowing the full edge frame per hop — at corpus
+    scale that turns every expansion hop from an edge-frame scan into
+    an index lookup. Persist with ``materialize.write_table(...,
+    bucket_col='src')`` for partition-pruned point lookups.
+
+    Valid for any expansion cap <= ``max_connections`` (the per-src
+    rank order does not depend on the query)."""
+    edges = undirected_edges(triples)
+    w = Window.partitionBy("src").orderBy(F.desc("strength"), "dst")
+    return (
+        edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_connections)
+    )
+
+
 def expand_with_strength_decay(
     triples: DataFrame,
     seeds: list[str],
     max_depth: int = 2,
     max_entity_connections: int = 20,
     threshold: float = 0.1,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """G6 — strength-decay entity expansion (rag/retriever.py:256-407,
     settings defaults: max_entity_connections=20,
@@ -283,11 +311,21 @@ def expand_with_strength_decay(
     as the canonicalize.py driver fast path). Final rounding/ordering
     stays in Spark expressions so results are bit-identical to the
     former all-DataFrame loop (oracle-checked).
+
+    Pass ``adjacency`` (a ``build_entity_adjacency`` table with
+    max_connections >= max_entity_connections) to serve each hop from
+    the materialized index — an index lookup per hop instead of an
+    edge-frame window; results are identical (pytest-asserted).
     """
     spark = triples.sparkSession
-    # cached for the loop only: each depth re-reads the edge frame, and
-    # the function's result is a literal — unpersisted before return
-    edges = undirected_edges(triples).persist()
+    if adjacency is not None:
+        edges = None
+        adj = adjacency
+    else:
+        # cached for the loop only: each depth re-reads the edge frame,
+        # and the function's result is literal — unpersisted at return
+        edges = undirected_edges(triples).persist()
+        adj = None
     # the reference holds seeds in a dict/set — duplicates collapse
     scores: dict[str, float] = {s: 1.0 for s in dict.fromkeys(seeds)}
     frontier = dict(scores)
@@ -296,14 +334,22 @@ def expand_with_strength_decay(
         f = spark.createDataFrame(
             [(n,) for n, _ in top_frontier[:max_entity_connections]], "src string"
         )
-        w = Window.partitionBy("src").orderBy(F.desc("strength"), "dst")
-        rels = (
-            edges.join(F.broadcast(f), "src")
-            .withColumn("_rk", F.row_number().over(w))
-            .filter((F.col("_rk") <= max_entity_connections) & (F.col("strength") >= threshold))
-            .select("dst", "strength")
-            .collect()
-        )
+        if adj is not None:
+            rels = (
+                adj.join(F.broadcast(f), "src")
+                .filter((F.col("rk") <= max_entity_connections) & (F.col("strength") >= threshold))
+                .select("dst", "strength")
+                .collect()
+            )
+        else:
+            w = Window.partitionBy("src").orderBy(F.desc("strength"), "dst")
+            rels = (
+                edges.join(F.broadcast(f), "src")
+                .withColumn("_rk", F.row_number().over(w))
+                .filter((F.col("_rk") <= max_entity_connections) & (F.col("strength") >= threshold))
+                .select("dst", "strength")
+                .collect()
+            )
         decay = 0.7 ** (d + 1)
         cand: dict[str, float] = {}
         for r in rels:
@@ -321,7 +367,8 @@ def expand_with_strength_decay(
         frontier = new
         if len(scores) > 3 * max_entity_connections:
             break
-    edges.unpersist()
+    if edges is not None:
+        edges.unpersist()
     out = spark.createDataFrame(
         sorted(scores.items()), "name string, score double"
     )

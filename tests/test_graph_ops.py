@@ -440,3 +440,27 @@ def test_retrieve_with_graph_expansion(kg):
         *args, "what is partnership", mode="chunk_only", top_k=3
     ).collect()
     assert {r["expansion_type"] for r in co if r["expansion_type"]} <= {"chunk_similarity"}
+
+
+def test_decay_expansion_via_adjacency_index(kg):
+    """Round 4: the materialized entity-adjacency index serves each
+    expansion hop identically to the on-the-fly edge-frame window."""
+    triples = kg["triples"]
+    seeds = [r["subj"] for r in triples.orderBy(F.desc("strength"), "subj").limit(2).collect()]
+    adj = graph_query.build_entity_adjacency(triples, max_connections=20)
+    direct = [
+        (r["name"], r["score"])
+        for r in graph_query.expand_with_strength_decay(triples, seeds, max_depth=2).collect()
+    ]
+    via_index = [
+        (r["name"], r["score"])
+        for r in graph_query.expand_with_strength_decay(
+            triples, seeds, max_depth=2, adjacency=adj
+        ).collect()
+    ]
+    assert direct == via_index
+    # the index itself is bounded per entity and ranked by strength
+    import pyspark.sql.functions as _F
+
+    over = adj.groupBy("src").count().filter(_F.col("count") > 20).count()
+    assert over == 0
