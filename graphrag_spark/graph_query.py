@@ -885,6 +885,114 @@ def batch_retrieve_chunks(
     )
 
 
+def batch_retrieve_entities(
+    chunks: DataFrame,
+    nodes: DataFrame,
+    mentions: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    min_similarity: float = 0.1,
+    id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Set-oriented ENTITY_ONLY retrieval for a whole query table —
+    the batch twin of ``retrieve(mode='entity_only')``, per-query
+    identical output (pytest-asserted).
+
+    Shape: ONE entity-scoring pass (entities x query terms — the same
+    total regexp work as the per-query loop, but one job instead of
+    one driver round-trip per query), per-query entity top-k window,
+    one mentions semijoin for all queries' candidate chunks, one
+    cosine pass over the (query, candidate-chunk) pairs. The query
+    table is collected to build term patterns (queries are
+    driver-scale by definition — they arrive from a client), and the
+    per-query widened k is computed with the same first-match-wins
+    rule as ``adjusted_top_k``.
+
+    Returns (query_id, chunk_id, source, score)."""
+    from .embeddings import EMBED_DIM, _embed_df
+    from .query_analysis import analyze_queries
+    from .similarity import cosine_col
+
+    spark = queries.sparkSession
+    meta = analyze_queries(queries, query_col)
+    k_col = (
+        F.when(
+            (F.col("complexity") == "complex") | F.col("requires_multiple_sources"),
+            F.least(F.lit(top_k + 3), F.lit(10)),
+        )
+        .when(F.col("query_type") == "comparative", F.least(F.lit(top_k + 5), F.lit(12)))
+        .otherwise(F.lit(top_k))
+    )
+    qk = meta.select(id_col, k_col.alias("k"))
+
+    # term patterns built driver-side: the word-boundary escaping is
+    # Python-charclass semantics, identical to entity_fulltext_search
+    qrows = queries.select(id_col, query_col).collect()
+    term_rows = []
+    for r in qrows:
+        for t in (r[query_col] or "").split():
+            t = t.lower()
+            if not t.strip():
+                continue
+            pat = r"(?i)\b" + "".join("\\" + c if not c.isalnum() else c for c in t) + r"\b"
+            term_rows.append((r[id_col], pat))
+    if not term_rows:
+        return spark.createDataFrame(
+            [], f"{id_col} string, chunk_id string, source string, score double"
+        )
+    qterms = spark.createDataFrame(term_rows, f"{id_col} string, pat string")
+
+    text = F.concat_ws(" ", "name", "description")
+    ent_scored = (
+        nodes.select("entity_id", "name", text.alias("_t"))
+        .crossJoin(F.broadcast(qterms))
+        .select(
+            id_col, "entity_id", "name", "_t",
+            F.regexp_count("_t", F.col("pat")).alias("cnt"),
+        )
+        .groupBy(id_col, "entity_id", "name")
+        .agg(F.sum("cnt").alias("cnt"), F.first(F.length("_t")).alias("tlen"))
+        .select(
+            id_col, "entity_id", "name",
+            F.round(F.col("cnt") / F.greatest("tlen", F.lit(1)) * 1000, 6).alias("escore"),
+        )
+        .filter(F.col("escore") > 0)
+    )
+    ew = Window.partitionBy(id_col).orderBy(F.desc("escore"), "name")
+    ents = (
+        ent_scored.withColumn("_rk", F.row_number().over(ew))
+        .join(F.broadcast(qk), id_col)
+        .filter(F.col("_rk") <= F.col("k"))
+        .select(id_col, "entity_id", "k")
+    )
+    cand = (
+        mentions.join(F.broadcast(ents), "entity_id")
+        .select(id_col, "chunk_id", "k")
+        .distinct()
+    )
+    qvecs = _embed_df(queries, id_col, query_col, EMBED_DIM).withColumnRenamed(
+        "embedding", "qvec"
+    )
+    scored = (
+        chunks.join(cand, "chunk_id")
+        .join(F.broadcast(qvecs), id_col)
+        .select(
+            id_col, "chunk_id", "k",
+            F.round(
+                cosine_col(F.col("embedding").cast("array<double>"), F.col("qvec")), 6
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= min_similarity)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "chunk_id")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("k"))
+        .select(id_col, "chunk_id", F.lit("entity_based").alias("source"), "score")
+    )
+
+
 def retrieve_with_graph_expansion(
     chunks: DataFrame,
     nodes: DataFrame,

@@ -113,3 +113,33 @@ def test_batch_retrieve_matches_per_query(kg):
             ).collect()
         }
         assert by_q.get(qid, set()) == want, qid
+
+
+def test_batch_retrieve_entities_matches_per_query(kg):
+    """Round 4: the set-oriented ENTITY_ONLY operator must reproduce
+    retrieve(mode='entity_only') per query, including widening and the
+    min-similarity floor."""
+    from graphrag_spark import graph_query
+
+    chunks, nodes, mentions, triples = kg
+    qs = [
+        ("e1", "what is partnership"),
+        ("e2", "compare partnership versus rollout"),
+        ("e3", "alpha beta gamma"),
+    ]
+    spark = chunks.sparkSession
+    qdf = spark.createDataFrame(qs, "query_id string, query string")
+    got = graph_query.batch_retrieve_entities(chunks, nodes, mentions, qdf, top_k=5)
+    by_q: dict[str, set] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(
+            (r["chunk_id"], r["source"], r["score"])
+        )
+    for qid, text in qs:
+        want = {
+            (r["chunk_id"], r["source"], r["score"])
+            for r in graph_query.retrieve(
+                chunks, nodes, mentions, triples, text, mode="entity_only", top_k=5
+            ).collect()
+        }
+        assert by_q.get(qid, set()) == want, qid
