@@ -383,6 +383,7 @@ def hybrid_merge(
     chunk_results: DataFrame,
     entity_results: DataFrame,
     entity_fallback: float = 0.3,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """J6 — hybrid retrieval merge (rag/retriever.py:725-762): full
     outer merge keyed by chunk_id; chunks found by both paths get
@@ -402,10 +403,13 @@ def hybrid_merge(
 
     Inputs: (chunk_id, similarity) frames from the vector path and the
     entity-expansion path. Returns (chunk_id, source, hybrid_score).
+    ``keys`` generalizes the merge key — batch retrieval merges per
+    (query_id, chunk_id) with identical per-key semantics.
     """
-    c = chunk_results.select("chunk_id", F.col("similarity").alias("chunk_score"))
-    e = entity_results.select("chunk_id", F.col("similarity").alias("entity_score"))
-    merged = c.join(e, "chunk_id", "full_outer")
+    keys = keys or ["chunk_id"]
+    c = chunk_results.select(*keys, F.col("similarity").alias("chunk_score"))
+    e = entity_results.select(*keys, F.col("similarity").alias("entity_score"))
+    merged = c.join(e, keys, "full_outer")
     both = F.col("chunk_score").isNotNull() & F.col("entity_score").isNotNull()
     score = (
         F.when(
@@ -425,10 +429,10 @@ def hybrid_merge(
         .otherwise("entity_based")
     )
     return merged.select(
-        "chunk_id",
+        *keys,
         source.alias("source"),
         F.round(score, 6).alias("hybrid_score"),
-    ).orderBy(F.desc("hybrid_score"), "chunk_id")
+    ).orderBy(F.desc("hybrid_score"), *keys)
 
 
 def hybrid_merge_3way(
@@ -437,15 +441,17 @@ def hybrid_merge_3way(
     path_results: DataFrame,
     entity_fallback: float = 0.3,
     path_fallback: float = 0.3,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """J6 full 3-phase combine (rag/retriever.py:725-792): chunk +
     entity sides merge with the ``min(1,(a+b)*0.8)`` boost; path
     results then merge into whatever is present with
     ``min(1,(current+path)*0.7)`` (source 'hybrid_with_paths'); single-
     path chunks keep their own score."""
-    two = hybrid_merge(chunk_results, entity_results, entity_fallback)
-    p = path_results.select("chunk_id", F.col("similarity").alias("path_score"))
-    merged = two.join(p, "chunk_id", "full_outer")
+    keys = keys or ["chunk_id"]
+    two = hybrid_merge(chunk_results, entity_results, entity_fallback, keys=keys)
+    p = path_results.select(*keys, F.col("similarity").alias("path_score"))
+    merged = two.join(p, keys, "full_outer")
     has_prev = F.col("hybrid_score").isNotNull()
     has_path = F.col("path_score").isNotNull()
     score = (
@@ -460,8 +466,8 @@ def hybrid_merge_3way(
         .otherwise(F.lit("path_based"))
     )
     return merged.select(
-        "chunk_id", source.alias("source"), F.round(score, 6).alias("hybrid_score")
-    ).orderBy(F.desc("hybrid_score"), "chunk_id")
+        *keys, source.alias("source"), F.round(score, 6).alias("hybrid_score")
+    ).orderBy(F.desc("hybrid_score"), *keys)
 
 
 def hybrid_retrieval(
@@ -990,6 +996,279 @@ def batch_retrieve_entities(
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.col("k"))
         .select(id_col, "chunk_id", F.lit("entity_based").alias("source"), "score")
+    )
+
+
+def _batch_decay_expand(
+    triples: DataFrame,
+    seeds_by_q: dict[str, list[str]],
+    max_depth: int = 2,
+    max_entity_connections: int = 20,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Strength-decay expansion for MANY queries in one set of jobs:
+    the per-depth neighbor top-k window runs once over the union of
+    every active query's frontier (partitioned by (query_id, src) — the
+    per-src rank is query-independent but partitioning per query keeps
+    the per-query cap semantics exact), and the score bookkeeping is
+    the same driver-side dict logic as ``expand_with_strength_decay``,
+    keyed by query. Per query, the output rows equal the per-query
+    operator exactly (pytest-asserted).
+
+    Returns (query_id, name, score) after each query's final
+    round -> (score desc, name) -> 2x-cap trim."""
+    spark = triples.sparkSession
+    edges = undirected_edges(triples).persist()
+    scores: dict[str, dict[str, float]] = {
+        q: {s: 1.0 for s in dict.fromkeys(s_list)} for q, s_list in seeds_by_q.items()
+    }
+    frontier: dict[str, dict[str, float]] = {q: dict(v) for q, v in scores.items()}
+    active = {q for q, v in frontier.items() if v}
+    for d in range(max_depth):
+        f_rows = []
+        for q in sorted(active):
+            top = sorted(frontier[q].items(), key=lambda kv: (-kv[1], kv[0]))
+            f_rows.extend((q, n) for n, _ in top[:max_entity_connections])
+        if not f_rows:
+            break
+        f = spark.createDataFrame(f_rows, "qid string, src string")
+        w = Window.partitionBy("qid", "src").orderBy(F.desc("strength"), "dst")
+        rels = (
+            edges.join(F.broadcast(f), "src")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter((F.col("_rk") <= max_entity_connections) & (F.col("strength") >= threshold))
+            .select("qid", "dst", "strength")
+            .collect()
+        )
+        decay = 0.7 ** (d + 1)
+        cand: dict[str, dict[str, float]] = {}
+        for r in rels:
+            qc = cand.setdefault(r["qid"], {})
+            s = r["strength"]
+            if s > qc.get(r["dst"], float("-inf")):
+                qc[r["dst"]] = s
+        next_active = set()
+        for q in active:
+            new: dict[str, float] = {}
+            for name, s in cand.get(q, {}).items():
+                cs = s * decay
+                if name in scores[q]:
+                    scores[q][name] = max(scores[q][name], cs)
+                else:
+                    new[name] = cs
+            scores[q].update(new)
+            frontier[q] = new
+            if len(scores[q]) <= 3 * max_entity_connections and new:
+                next_active.add(q)
+        active = next_active
+        if not active:
+            break
+    edges.unpersist()
+    rows = [(q, n, s) for q, v in sorted(scores.items()) for n, s in sorted(v.items())]
+    out = spark.createDataFrame(rows, "query_id string, name string, score double")
+    tw = Window.partitionBy("query_id").orderBy(F.desc("score"), "name")
+    return (
+        out.select("query_id", "name", F.round("score", 6).alias("score"))
+        .withColumn("_rk", F.row_number().over(tw))
+        .filter(F.col("_rk") <= 2 * max_entity_connections)
+        .drop("_rk")
+    )
+
+
+def batch_retrieve_hybrid(
+    chunks: DataFrame,
+    nodes: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    expansion_threshold: float = 0.1,
+    id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Set-oriented HYBRID retrieval for a whole query table — the
+    batch twin of ``retrieve(mode='hybrid')``, per-query identical
+    output (pytest-asserted).
+
+    Set-oriented stages (one job each for ALL queries): complexity
+    widening + per-query slot split as columns; one query-embedding
+    Arrow pass; ONE broadcast cross join for every query's scored
+    chunk scan; one seeds job; the multi-query decay expansion
+    (``_batch_decay_expand``); one entity-side rollup; the
+    (query_id, chunk_id)-keyed 3-way merge. The multi-hop PATH side —
+    inherently sequential beam search — runs per multi-hop-recommended
+    query, reusing that query's already-computed top chunks and seeds
+    (no extra scans); factual/simple batches never pay it.
+
+    Returns (query_id, chunk_id, source, hybrid_score)."""
+    from .embeddings import EMBED_DIM, _embed_df
+    from .query_analysis import (
+        HYBRID_CHUNK_WEIGHT,
+        HYBRID_PATH_WEIGHT,
+        analyze_queries,
+    )
+    from .similarity import cosine_col
+
+    spark = queries.sparkSession
+    meta = analyze_queries(queries, query_col)
+    kc = (
+        F.when(
+            (F.col("complexity") == "complex") | F.col("requires_multiple_sources"),
+            F.least(F.lit(top_k + 3), F.lit(10)),
+        )
+        .when(F.col("query_type") == "comparative", F.least(F.lit(top_k + 5), F.lit(12)))
+        .otherwise(F.lit(top_k))
+    ).cast("int")
+    # retrieval_split (retriever.py:639-686) with the PER-QUERY widened
+    # k (the Spark retrieval_split takes a constant top_k; hybrid is
+    # called with the widened value, so the split must use it too)
+    qt = F.col("query_type")
+    cw, bpw = float(HYBRID_CHUNK_WEIGHT), float(HYBRID_PATH_WEIGHT)
+    pw = (
+        F.when(qt == "comparative", F.least(F.lit(0.8), F.lit(bpw) * 1.3))
+        .when(qt == "analytical", F.least(F.lit(0.7), F.lit(bpw) * 1.1))
+        .otherwise(F.greatest(F.lit(0.2), F.lit(bpw) * 0.7))
+    )
+    use_mh = F.col("multi_hop_recommended")
+    remaining = 1.0 - pw
+    k = kc.cast("double")
+    chunk_plain = F.greatest(F.lit(1), F.floor(k * cw).cast("int"))
+    chunk_count = F.when(
+        use_mh, F.greatest(F.lit(1), F.floor(k * cw * remaining).cast("int"))
+    ).otherwise(chunk_plain)
+    entity_count = F.when(
+        use_mh, F.greatest(F.lit(1), F.floor(k * (1 - cw) * remaining).cast("int"))
+    ).otherwise(F.greatest(F.lit(1), kc - chunk_plain))
+    path_mh = (
+        F.when(qt == "comparative", F.greatest(F.floor(k * pw).cast("int"), F.floor(kc / 2).cast("int")))
+        .when(qt == "analytical", F.greatest(F.floor(k * pw).cast("int"), F.floor(kc / 3).cast("int")))
+        .otherwise(F.greatest(F.lit(1), F.floor(k * pw).cast("int")))
+    )
+    path_count = F.when(use_mh, path_mh).otherwise(F.lit(0)).cast("int")
+    qmeta = {
+        r[id_col]: r
+        for r in meta.select(
+            id_col,
+            F.col(query_col).alias("_q"),
+            kc.alias("k"),
+            chunk_count.cast("int").alias("chunk_count"),
+            entity_count.cast("int").alias("entity_count"),
+            path_count.alias("path_count"),
+        ).collect()
+    }
+    if not qmeta:
+        return spark.createDataFrame(
+            [], f"{id_col} string, chunk_id string, source string, hybrid_score double"
+        )
+
+    # one scored scan for every query; per-query top max(chunk_count, 10)
+    qvecs = _embed_df(queries, id_col, query_col, EMBED_DIM).withColumnRenamed(
+        "embedding", "qvec"
+    )
+    kmax_rows = [(q, max(m["chunk_count"], 10)) for q, m in qmeta.items()]
+    kmaxdf = spark.createDataFrame(kmax_rows, f"{id_col} string, kmax int")
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "chunk_id")
+    scored_top = [
+        (r[id_col], r["chunk_id"], r["score"])
+        for r in chunks.crossJoin(F.broadcast(qvecs.join(kmaxdf, id_col)))
+        .select(
+            id_col, "chunk_id", "kmax",
+            F.round(
+                cosine_col(F.col("embedding").cast("array<double>"), F.col("qvec")), 6
+            ).alias("score"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("kmax"))
+        .select(id_col, "chunk_id", "score")
+        .collect()
+    ]
+    by_q: dict[str, list[tuple[str, float]]] = {}
+    for q, cid, s in sorted(scored_top, key=lambda t: (t[0], -t[2], t[1])):
+        by_q.setdefault(q, []).append((cid, s))
+    chunk_rows = [
+        (q, cid, s)
+        for q, lst in by_q.items()
+        for cid, s in lst[: qmeta[q]["chunk_count"]]
+    ]
+    chunk_side = spark.createDataFrame(
+        chunk_rows, f"{id_col} string, chunk_id string, similarity double"
+    )
+
+    # seeds for every query in one job (top-10 chunks' entities, top-5
+    # by max importance)
+    top10_rows = [(q, cid) for q, lst in by_q.items() for cid, _ in lst[:10]]
+    top10 = spark.createDataFrame(top10_rows, f"{id_col} string, chunk_id string")
+    sw = Window.partitionBy(id_col).orderBy(F.desc("importance"), "name")
+    seed_rows = (
+        mentions.join(F.broadcast(top10), "chunk_id")
+        .join(nodes.select("entity_id", "name", "importance"), "entity_id")
+        .groupBy(id_col, "name")
+        .agg(F.max("importance").alias("importance"))
+        .withColumn("_rk", F.row_number().over(sw))
+        .filter(F.col("_rk") <= 5)
+        .select(id_col, "name")
+        .collect()
+    )
+    seeds_by_q: dict[str, list[str]] = {q: [] for q in qmeta}
+    for r in sorted(seed_rows, key=lambda r: (r[id_col], r["name"])):
+        seeds_by_q[r[id_col]].append(r["name"])
+
+    # entity side: multi-query decay expansion + one rollup
+    exp = _batch_decay_expand(
+        triples, {q: s for q, s in seeds_by_q.items() if s}
+    )
+    ew = Window.partitionBy(id_col).orderBy(F.desc("similarity"), "chunk_id")
+    ec_rows = [(q, m["entity_count"]) for q, m in qmeta.items()]
+    ecdf = spark.createDataFrame(ec_rows, f"{id_col} string, ec int")
+    entity_side = (
+        mentions.join(nodes.select("entity_id", "name"), "entity_id")
+        .join(F.broadcast(exp.withColumnRenamed("query_id", id_col)), "name")
+        .groupBy(id_col, "chunk_id")
+        .agg(F.max("score").alias("similarity"))
+        .filter(F.col("similarity") >= expansion_threshold)
+        .withColumn("_rk", F.row_number().over(ew))
+        .join(F.broadcast(ecdf), id_col)
+        .filter(F.col("_rk") <= F.col("ec"))
+        .select(id_col, "chunk_id", "similarity")
+    )
+
+    # path side: per multi-hop query, reusing its scored chunks + seeds
+    from .embeddings import embed_texts_np
+
+    path_parts = []
+    for q, m in qmeta.items():
+        if m["path_count"] <= 0:
+            continue
+        qvec = [float(x) for x in embed_texts_np([m["_q"]])[0]]
+        tc = spark.createDataFrame(
+            [(cid,) for cid, _ in by_q.get(q, [])[:10]], "chunk_id string"
+        )
+        ps = multi_hop_retrieval(
+            chunks, nodes, mentions, triples, qvec,
+            top_chunks=tc, seeds=seeds_by_q.get(q, []),
+        ).limit(m["path_count"])
+        path_parts.append(ps.select(F.lit(q).alias(id_col), "chunk_id", "similarity"))
+    if path_parts:
+        path_side = path_parts[0]
+        for p in path_parts[1:]:
+            path_side = path_side.unionByName(p)
+    else:
+        path_side = spark.createDataFrame(
+            [], f"{id_col} string, chunk_id string, similarity double"
+        )
+
+    merged = hybrid_merge_3way(
+        chunk_side, entity_side, path_side, keys=[id_col, "chunk_id"]
+    )
+    kdf = spark.createDataFrame(
+        [(q, m["k"]) for q, m in qmeta.items()], f"{id_col} string, k int"
+    )
+    mw = Window.partitionBy(id_col).orderBy(F.desc("hybrid_score"), "chunk_id")
+    return (
+        merged.withColumn("_rk", F.row_number().over(mw))
+        .join(F.broadcast(kdf), id_col)
+        .filter(F.col("_rk") <= F.col("k"))
+        .select(id_col, "chunk_id", "source", F.col("hybrid_score").alias("score"))
     )
 
 

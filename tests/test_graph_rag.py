@@ -143,3 +143,37 @@ def test_batch_retrieve_entities_matches_per_query(kg):
             ).collect()
         }
         assert by_q.get(qid, set()) == want, qid
+
+
+def test_batch_retrieve_hybrid_matches_per_query(kg):
+    """Round 4: the set-oriented HYBRID operator must reproduce
+    retrieve(mode='hybrid') per query — including widening, the
+    per-query slot split, the decay-expansion entity side, and (for
+    multi-hop-recommended queries) the path side and 3-way merge."""
+    from graphrag_spark import graph_query
+
+    chunks, nodes, mentions, triples = kg
+    qs = [
+        ("h1", "what is partnership"),                       # factual, no paths
+        ("h2", "compare partnership versus rollout"),        # comparative, paths
+        ("h3", "explain the relationship between alpha and beta"),  # analytical+complex
+        ("h4", "gamma delta"),                               # general
+    ]
+    spark = chunks.sparkSession
+    qdf = spark.createDataFrame(qs, "query_id string, query string")
+    got = graph_query.batch_retrieve_hybrid(
+        chunks, nodes, mentions, triples, qdf, top_k=5
+    )
+    by_q: dict[str, set] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(
+            (r["chunk_id"], r["source"], r["score"])
+        )
+    for qid, text in qs:
+        want = {
+            (r["chunk_id"], r["source"], r["score"])
+            for r in graph_query.retrieve(
+                chunks, nodes, mentions, triples, text, mode="hybrid", top_k=5
+            ).collect()
+        }
+        assert by_q.get(qid, set()) == want, (qid, by_q.get(qid, set()), want)
