@@ -999,6 +999,44 @@ def batch_retrieve_entities(
     )
 
 
+def batch_retrieve(
+    chunks: DataFrame,
+    nodes: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    queries: DataFrame,
+    mode: str = "hybrid",
+    top_k: int = 5,
+    id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Batch twin of the ``retrieve`` dispatcher: route a whole query
+    table through the mode-mapped set-oriented strategy
+    (chunk_only/simple -> batch_retrieve_chunks; entity_only ->
+    batch_retrieve_entities; hybrid/graph_enhanced/auto ->
+    batch_retrieve_hybrid). Unknown modes return an empty frame like
+    the reference's error path. Returns (query_id, chunk_id, source,
+    score) — per query identical to ``retrieve(mode=...)``."""
+    resolved = _MODE_MAP.get(mode)
+    if resolved is None:
+        return chunks.sparkSession.createDataFrame(
+            [], f"{id_col} string, chunk_id string, source string, score double"
+        )
+    if resolved == "chunk_only":
+        return batch_retrieve_chunks(
+            chunks, queries, top_k=top_k, id_col=id_col, query_col=query_col
+        )
+    if resolved == "entity_only":
+        return batch_retrieve_entities(
+            chunks, nodes, mentions, queries, top_k=top_k,
+            id_col=id_col, query_col=query_col,
+        )
+    return batch_retrieve_hybrid(
+        chunks, nodes, mentions, triples, queries, top_k=top_k,
+        id_col=id_col, query_col=query_col,
+    )
+
+
 def _batch_decay_expand(
     triples: DataFrame,
     seeds_by_q: dict[str, list[str]],

@@ -177,3 +177,34 @@ def test_batch_retrieve_hybrid_matches_per_query(kg):
             ).collect()
         }
         assert by_q.get(qid, set()) == want, (qid, by_q.get(qid, set()), want)
+
+
+def test_batch_retrieve_dispatcher(kg):
+    """The batch dispatcher routes modes like ``retrieve`` (legacy
+    aliases included) and rejects unknown modes with an empty frame."""
+    from graphrag_spark import graph_query
+
+    chunks, nodes, mentions, triples = kg
+    spark = chunks.sparkSession
+    text = "what is partnership"
+    qdf = spark.createDataFrame([("d1", text)], "query_id string, query string")
+    for mode in ("simple", "entity_only", "graph_enhanced"):
+        got = {
+            (r["chunk_id"], r["source"], r["score"])
+            for r in graph_query.batch_retrieve(
+                chunks, nodes, mentions, triples, qdf, mode=mode
+            ).collect()
+        }
+        want = {
+            (r["chunk_id"], r["source"], r["score"])
+            for r in graph_query.retrieve(
+                chunks, nodes, mentions, triples, text, mode=mode
+            ).collect()
+        }
+        assert got == want, mode
+    assert (
+        graph_query.batch_retrieve(
+            chunks, nodes, mentions, triples, qdf, mode="nope"
+        ).count()
+        == 0
+    )
