@@ -106,6 +106,14 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
         cache = {}
         for name in ("chunks", "nodes", "mentions", "triples", "cmap", "rels_norm"):
             cache[name] = _export(out[name], sf_dir, f"kg_{name}")
+        # serving index: built once per graph like a real deployment
+        # (graph_query.build_entity_adjacency docstring); expansion
+        # hops then join it instead of windowing the edge frame
+        from graphrag_spark.graph_query import build_entity_adjacency
+
+        adj = build_entity_adjacency(cache["triples"]).persist()
+        adj.count()
+        cache["adjacency"] = adj
         _KG_CACHE[sf_dir] = cache
     return _KG_CACHE[sf_dir]
 
@@ -1082,7 +1090,8 @@ def _q_kg_hybrid_retrieval(spark, sf_dir):
             spark.createDataFrame([(qvec,)], "qv array<double>"), sf_dir, vec_table
         )
         out = graph_query.hybrid_retrieval(
-            kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], qtext, top_k=10
+            kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], qtext,
+            top_k=10, adjacency=kg["adjacency"],
         )
         parts.append(
             out.select(F.lit(qkind).alias("qkind"), "chunk_id", "source", "hybrid_score")

@@ -478,6 +478,7 @@ def hybrid_retrieval(
     query_text: str,
     top_k: int = 10,
     expansion_threshold: float = 0.1,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """The reference's full hybrid retrieval (rag/retriever.py:600-800)
     end to end, LLM-free: analyze the query (type / multi-hop
@@ -527,7 +528,11 @@ def hybrid_retrieval(
         .limit(5)
         .collect()
     ]
-    exp = expand_with_strength_decay(triples, seeds) if seeds else None
+    exp = (
+        expand_with_strength_decay(triples, seeds, adjacency=adjacency)
+        if seeds
+        else None
+    )
     if exp is not None:
         entity_side = (
             mentions.join(nodes.select("entity_id", "name"), "entity_id")
@@ -794,6 +799,7 @@ def retrieve(
     query_text: str,
     mode: str = "hybrid",
     top_k: int = 5,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """The retrieval dispatcher (rag/retriever.py:825-874 +
     rag/nodes/retrieval.py:18-135): analyze the query, widen top_k by
@@ -830,7 +836,7 @@ def retrieve(
             F.col("similarity").alias("score"),
         )
     return hybrid_retrieval(
-        chunks, nodes, mentions, triples, query_text, top_k=k
+        chunks, nodes, mentions, triples, query_text, top_k=k, adjacency=adjacency
     ).select("chunk_id", "source", F.col("hybrid_score").alias("score"))
 
 

@@ -208,3 +208,26 @@ def test_batch_retrieve_dispatcher(kg):
         ).count()
         == 0
     )
+
+
+def test_hybrid_retrieval_with_adjacency_index(kg):
+    """hybrid_retrieval served from the materialized adjacency index
+    equals the direct path."""
+    from graphrag_spark import graph_query
+
+    chunks, nodes, mentions, triples = kg
+    adj = graph_query.build_entity_adjacency(triples)
+    for q in ("what is partnership", "compare partnership versus rollout"):
+        direct = {
+            tuple(r)
+            for r in graph_query.hybrid_retrieval(
+                chunks, nodes, mentions, triples, q, top_k=10
+            ).collect()
+        }
+        via = {
+            tuple(r)
+            for r in graph_query.hybrid_retrieval(
+                chunks, nodes, mentions, triples, q, top_k=10, adjacency=adj
+            ).collect()
+        }
+        assert direct == via, q
