@@ -642,15 +642,20 @@ def _q_kg_entity_sim_edges(spark, sf_dir):
     exported and the SQL recomputes verify -> symmetrize -> window
     top-k from them)."""
     from graphrag_spark import graph_ops
+    from graphrag_spark.embeddings import EMBED_DIM
     from graphrag_spark.similarity import lsh_candidate_pairs
 
     kg = _kg(spark, sf_dir)
     exact = graph_ops.entity_similarity_edges(kg["nodes"], threshold=0.5, k=3)
     # export the banding's candidate set (seeded hyperplanes -> same
-    # pairs the lsh branch forms internally) for the DuckDB twin
+    # pairs the lsh branch forms internally) for the DuckDB twin;
+    # node embeddings are engine-generated, so the hyperplane dim is
+    # EMBED_DIM by construction (a literal would silently go stale)
     _export(
         lsh_candidate_pairs(
-            kg["nodes"].select("entity_id", "embedding"), id_col="entity_id", dim=64
+            kg["nodes"].select("entity_id", "embedding"),
+            id_col="entity_id",
+            dim=EMBED_DIM,
         ),
         sf_dir,
         "entity_lsh_cands",
@@ -1024,6 +1029,8 @@ def _q_lsh_embedding_dups(spark, sf_dir):
     from graphrag_spark.similarity import lsh_candidate_pairs, verify_candidates_cosine
 
     e = _t(spark, sf_dir, "embeddings")
+    # dim=64 here is the TESTDATA embeddings table's vector width (an
+    # input property, TESTDATA.md), not the engine's EMBED_DIM
     cand = _export(lsh_candidate_pairs(e, dim=64), sf_dir, "lsh_emb_cands")
     return verify_candidates_cosine(cand, e, threshold=0.35).orderBy("src", "dst")
 

@@ -266,13 +266,29 @@ def build_entity_adjacency(
     bucket_col='src')`` for partition-pruned point lookups.
 
     Valid for any expansion cap <= ``max_connections`` (the per-src
-    rank order does not depend on the query)."""
+    rank order does not depend on the query); the build cap is attached
+    as ``_graphrag_adj_cap`` so consumers can validate it. An index
+    loaded back from disk loses the attribute — re-attach it with
+    ``attach_adjacency_cap`` (the cap is part of the index contract,
+    store it next to the table like the fulltext ``_meta``)."""
     edges = undirected_edges(triples)
     w = Window.partitionBy("src").orderBy(F.desc("strength"), "dst")
-    return (
+    out = (
         edges.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= max_connections)
     )
+    out._graphrag_adj_cap = int(max_connections)  # type: ignore[attr-defined]
+    return out
+
+
+def attach_adjacency_cap(adjacency: DataFrame, max_connections: int) -> DataFrame:
+    """Re-attach the build cap to an adjacency index loaded from
+    storage (DataFrame attributes do not survive a write/read round
+    trip). The cap is what ``expand_with_strength_decay`` validates —
+    passing a larger value than the index was built with reintroduces
+    the silent-truncation bug the check exists to prevent."""
+    adjacency._graphrag_adj_cap = int(max_connections)  # type: ignore[attr-defined]
+    return adjacency
 
 
 def expand_with_strength_decay(
@@ -315,10 +331,22 @@ def expand_with_strength_decay(
     Pass ``adjacency`` (a ``build_entity_adjacency`` table with
     max_connections >= max_entity_connections) to serve each hop from
     the materialized index — an index lookup per hop instead of an
-    edge-frame window; results are identical (pytest-asserted).
+    edge-frame window; results are identical (pytest-asserted). The
+    constraint is VALIDATED, not just documented: an index built with
+    a smaller cap would silently truncate each hop's candidate set, so
+    a known-too-small ``_graphrag_adj_cap`` raises (disk-loaded
+    indexes: re-attach the cap with ``attach_adjacency_cap``).
     """
     spark = triples.sparkSession
     if adjacency is not None:
+        adj_cap = getattr(adjacency, "_graphrag_adj_cap", None)
+        if adj_cap is not None and adj_cap < max_entity_connections:
+            raise ValueError(
+                f"expand_with_strength_decay: adjacency index was built with "
+                f"max_connections={adj_cap} < max_entity_connections="
+                f"{max_entity_connections}; each hop would be silently "
+                "truncated. Rebuild the index with a cap >= the expansion cap."
+            )
         edges = None
         adj = adjacency
     else:
@@ -636,6 +664,15 @@ def write_fulltext_index(postings: DataFrame, path: str, n_buckets: int = N_TERM
     postings.sparkSession.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").json(path + "/_meta")
+    _FULLTEXT_META_CACHE[path] = int(n_buckets)  # rebuilt in-process: refresh
+
+
+# modulus cache for persisted fulltext indexes: the bucket count is
+# immutable for an index's lifetime (incremental_fulltext_index raises
+# on any restart that tries to change it), so one _meta read per path
+# per process suffices — without this every query paid a spark.read.
+# json(...).first() job before touching the index
+_FULLTEXT_META_CACHE: dict[str, int] = {}
 
 
 def fulltext_search_index_path(spark, path: str, query: str, top_k: int = 10) -> DataFrame:
@@ -644,8 +681,12 @@ def fulltext_search_index_path(spark, path: str, query: str, top_k: int = 10) ->
     partition filters carry ``tbucket IN (...)``), then the same
     broadcast-terms join + rollup as ``fulltext_search_indexed``. The
     pruning modulus comes from the index's own ``_meta``, never a
-    caller guess."""
-    n_buckets = int(spark.read.json(path + "/_meta").first()["n_buckets"])
+    caller guess (read once per path per process — the modulus is
+    immutable for the index's lifetime)."""
+    n_buckets = _FULLTEXT_META_CACHE.get(path)
+    if n_buckets is None:
+        n_buckets = int(spark.read.json(path + "/_meta").first()["n_buckets"])
+        _FULLTEXT_META_CACHE[path] = n_buckets
     terms = sorted({t.lower() for t in query.split() if t.strip()})
     # bucket assignment must match the writer's xxhash64 exactly — a
     # tiny driver-side Spark job over the handful of query terms
@@ -1201,8 +1242,11 @@ def batch_retrieve_hybrid(
         ).collect()
     }
     if not qmeta:
+        # column name must match the non-empty path's final select
+        # (which aliases hybrid_score AS score) — a consumer selecting
+        # 'score' on an empty batch must not hit an AnalysisException
         return spark.createDataFrame(
-            [], f"{id_col} string, chunk_id string, source string, hybrid_score double"
+            [], f"{id_col} string, chunk_id string, source string, score double"
         )
 
     # one scored scan for every query; per-query top max(chunk_count, 10)

@@ -214,14 +214,22 @@ def build_triples_fused(rels_raw: DataFrame, s2c: DataFrame, broadcast_map: bool
     endpoint over the expanded pair frame (the 100 TB hot path — the
     pair frame is O(corpus) while s2c is vocabulary-bounded).
     Equivalence with normalize_rels + build_triples is pytest-asserted
-    and covered by the kg_triples full-recompute oracle."""
+    and covered by the kg_triples full-recompute oracle.
+
+    Degradation contract: when the composed map fell back past the
+    driver-materialization cap (``_graphrag_materialized=False``, an
+    open-vocabulary extractor at 100x scale) the broadcast hint is
+    skipped regardless of ``broadcast_map`` — force-broadcasting an
+    unbounded map would OOM executors; the joins degrade to shuffle
+    joins exactly like the unfused path (normalize.maybe_broadcast)."""
+    bc = broadcast_map and getattr(s2c, "_graphrag_materialized", True)
     resolved = (
         rels_raw.join(
-            _hint(s2c.withColumnRenamed("surface", "name").withColumnRenamed("canonical_name", "subj"), broadcast_map),
+            _hint(s2c.withColumnRenamed("surface", "name").withColumnRenamed("canonical_name", "subj"), bc),
             "name",
         )
         .join(
-            _hint(s2c.withColumnRenamed("surface", "type_or_target").withColumnRenamed("canonical_name", "obj"), broadcast_map),
+            _hint(s2c.withColumnRenamed("surface", "type_or_target").withColumnRenamed("canonical_name", "obj"), bc),
             "type_or_target",
         )
         .filter(F.col("subj") != F.col("obj"))

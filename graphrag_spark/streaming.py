@@ -27,6 +27,7 @@ complete engine we provide the two streaming shapes the corpus needs:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -246,9 +247,14 @@ def incremental_fulltext_index(
     from .graph_query import N_TERM_BUCKETS, build_fulltext_postings
 
     nb = int(n_buckets or N_TERM_BUCKETS)
+    # only a MISSING _meta means "fresh index" — a corrupt file or a
+    # permission error must propagate, not silently bypass the
+    # n_buckets mismatch guard below by overwriting _meta
     try:
         existing = spark.read.json(index_dir + "/_meta").collect()
-    except Exception:
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         existing = []
     if existing:
         old_nb = int(existing[0]["n_buckets"])

@@ -464,3 +464,33 @@ def test_decay_expansion_via_adjacency_index(kg):
 
     over = adj.groupBy("src").count().filter(_F.col("count") > 20).count()
     assert over == 0
+
+
+def test_adjacency_cap_validated(kg):
+    """Round 5 (r4 ADVICE): an adjacency index built with a smaller cap
+    than the expansion's max_entity_connections would silently truncate
+    every hop — the mismatch must raise, and a disk-loaded index (which
+    loses the builder's attribute) can re-attach its cap."""
+    triples = kg["triples"]
+    seeds = [r["subj"] for r in triples.orderBy(F.desc("strength"), "subj").limit(2).collect()]
+    small = graph_query.build_entity_adjacency(triples, max_connections=5)
+    with pytest.raises(ValueError, match="max_connections=5"):
+        graph_query.expand_with_strength_decay(triples, seeds, adjacency=small)
+
+    # disk round trip drops the attribute; attach_adjacency_cap restores
+    # the contract and the validated index serves identically
+    full = graph_query.build_entity_adjacency(triples, max_connections=20)
+    bare = triples.sparkSession.createDataFrame(full.collect(), full.schema)
+    assert getattr(bare, "_graphrag_adj_cap", None) is None
+    reattached = graph_query.attach_adjacency_cap(bare, 20)
+    direct = [
+        (r["name"], r["score"])
+        for r in graph_query.expand_with_strength_decay(triples, seeds).collect()
+    ]
+    via = [
+        (r["name"], r["score"])
+        for r in graph_query.expand_with_strength_decay(
+            triples, seeds, adjacency=reattached
+        ).collect()
+    ]
+    assert direct == via

@@ -231,3 +231,17 @@ def test_hybrid_retrieval_with_adjacency_index(kg):
             ).collect()
         }
         assert direct == via, q
+
+
+def test_batch_retrieve_hybrid_empty_queries_schema(kg):
+    """Round 5 (r4 ADVICE): the empty-batch frame must carry the SAME
+    column names as the non-empty path ('score', not 'hybrid_score') —
+    a consumer selecting 'score' on an empty batch must not blow up."""
+    from graphrag_spark import graph_query
+
+    chunks, nodes, mentions, triples = kg
+    spark = chunks.sparkSession
+    empty = spark.createDataFrame([], "query_id string, query string")
+    out = graph_query.batch_retrieve_hybrid(chunks, nodes, mentions, triples, empty)
+    assert out.columns == ["query_id", "chunk_id", "source", "score"]
+    assert out.count() == 0

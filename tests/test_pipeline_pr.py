@@ -298,3 +298,34 @@ def test_pluggable_llm_extractor_pr(spark, corpus_path, doc_rows, tmp_path_facto
     )
     pl2.run()
     assert pl2.stage_times == {}, "resume under the extractor tag must skip all stages"
+
+
+def test_fused_triples_skips_broadcast_past_cap(spark):
+    """Round 5 (r4 ADVICE): when the composed surface->canonical map
+    fell back past the driver-materialization cap (flagged
+    _graphrag_materialized=False), build_triples_fused must NOT force a
+    broadcast of the unbounded map, regardless of broadcast_map."""
+    from graphrag_spark import materialize
+
+    rels = spark.createDataFrame(
+        [("a", "b", 0.9, "d", "c1")],
+        "name string, type_or_target string, score double, description string, chunk_id string",
+    )
+    s2c = spark.createDataFrame(
+        [("a", "Alpha"), ("b", "Beta")], "surface string, canonical_name string"
+    )
+    s2c._graphrag_materialized = False
+    analyzed = (
+        materialize.build_triples_fused(rels, s2c, broadcast_map=True)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in analyzed
+
+    s2c_ok = spark.createDataFrame(
+        [("a", "Alpha"), ("b", "Beta")], "surface string, canonical_name string"
+    )
+    analyzed_ok = (
+        materialize.build_triples_fused(rels, s2c_ok, broadcast_map=True)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" in analyzed_ok
