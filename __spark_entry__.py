@@ -114,6 +114,18 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
         adj = build_entity_adjacency(cache["triples"]).persist()
         adj.count()
         cache["adjacency"] = adj
+        # vector-serving index (r4 VERDICT item 2): IVF over the chunk
+        # embeddings, built once per corpus like the adjacency index —
+        # retrieval's chunk side probes cells instead of scanning the
+        # corpus; the cell assignment is exported so the oracle can
+        # recompute the pruned scoring independently
+        from graphrag_spark.similarity import IvfIndex
+
+        idx = IvfIndex.build(cache["chunks"], n_centroids=8, id_col="chunk_id", n_probe=4)
+        idx.cells = idx.cells.persist()
+        idx.cells.count()
+        _export(idx.cells.select("chunk_id", "cluster"), sf_dir, "kg_chunk_cells")
+        cache["chunk_index"] = idx
         _KG_CACHE[sf_dir] = cache
     return _KG_CACHE[sf_dir]
 
@@ -765,7 +777,12 @@ def _q_kg_vector_search(spark, sf_dir):
       retrieval, one broadcast cross join for the whole query table) —
       the query texts+vectors are exported and the SQL twin recomputes
       the per-query complexity widening, cosine scoring, and window
-      top-k from them."""
+      top-k from them;
+    - 'ivfq:<qid>' (round 5): the same batch through the IVF chunk
+      index at partial probe (2 of 8 cells) — the exported cell
+      assignment + probe pairs let the twin recompute the pruned
+      scoring independently, verifying the indexed serving route with
+      real pruning (not just the exact full-probe case)."""
     from graphrag_spark import graph_query
     from graphrag_spark.embeddings import embed_texts_np
     from graphrag_spark.generation import prepare_sources
@@ -826,16 +843,41 @@ def _q_kg_vector_search(spark, sf_dir):
         sf_dir,
         "batch_queries",
     )
-    bat = graph_query.batch_retrieve_chunks(
-        chunks, spark.createDataFrame(batch_qs, "query_id string, query string"), top_k=3
-    ).select(
+    qdf = spark.createDataFrame(batch_qs, "query_id string, query string")
+    bat = graph_query.batch_retrieve_chunks(chunks, qdf, top_k=3).select(
         F.concat(F.lit("batch:"), "query_id").alias("part"),
         "chunk_id",
         "score",
         F.lit(None).cast("string").alias("label"),
         F.lit(None).cast("string").alias("preview"),
     )
-    return vec.unionByName(ent).unionByName(src).unionByName(bat)
+    # 'ivfq:<qid>': the SAME batch through the IVF chunk index at a
+    # REAL partial probe (2 of 8 cells). The probe pairs and the cell
+    # assignment are exported, so the SQL twin independently recomputes
+    # the pruned scoring — cosine + widening + window top-k restricted
+    # to each query's probed cells — rather than trusting the engine
+    # (the candidate-export protocol the LSH families use).
+    from graphrag_spark.embeddings import EMBED_DIM, _embed_df
+
+    idx = kg["chunk_index"]
+    qvecs = _embed_df(qdf, "query_id", "query", EMBED_DIM).withColumnRenamed(
+        "embedding", "qvec"
+    )
+    _export(
+        graph_query.batch_probe_pairs(idx, qvecs, "query_id", n_probe=2),
+        sf_dir,
+        "kg_chunk_probes",
+    )
+    ivfq = graph_query.batch_retrieve_chunks(
+        chunks, qdf, top_k=3, chunk_index=idx, n_probe=2
+    ).select(
+        F.concat(F.lit("ivfq:"), "query_id").alias("part"),
+        "chunk_id",
+        "score",
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("string").alias("preview"),
+    )
+    return vec.unionByName(ent).unionByName(src).unionByName(bat).unionByName(ivfq)
 
 
 def _q_kg_hybrid_merge(spark, sf_dir):
@@ -1082,7 +1124,14 @@ def _q_kg_hybrid_retrieval(spark, sf_dir):
     downstream — seeding, 2-hop decay expansion incl. the early-stop
     rule, the beam with support lists, path scoring, per-side budgets,
     both merge formulas — is recomputed by the oracle in SQL from the
-    exported KG tables."""
+    exported KG tables.
+
+    Round 5: both requests are served THROUGH the IVF chunk index at
+    full probe (n_probe = n_centroids) — exercising the indexed
+    serving route in the official artifact while keeping results
+    bit-identical to the brute-force scan the SQL twin models (the
+    exactness contract in similarity.IvfIndex; partial-probe pruning
+    is oracled separately by kg_vector_search's ivfq rows)."""
     from graphrag_spark import graph_query
     from graphrag_spark.embeddings import embed_texts_np
 
@@ -1099,6 +1148,7 @@ def _q_kg_hybrid_retrieval(spark, sf_dir):
         out = graph_query.hybrid_retrieval(
             kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], qtext,
             top_k=10, adjacency=kg["adjacency"],
+            chunk_index=kg["chunk_index"].with_probe(kg["chunk_index"].n_centroids),
         )
         parts.append(
             out.select(F.lit(qkind).alias("qkind"), "chunk_id", "source", "hybrid_score")
@@ -1119,6 +1169,29 @@ def _q_media_features(spark, sf_dir):
         .select("media_ref", "kind", "width", "height", F.size("features").alias("feature_dim"))
         .distinct()
     )
+
+
+def bench_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (not a queries() slot — the ANN config is
+    approximate by design, so it has no exact SQL twin; the indexed
+    route's correctness is oracled by kg_vector_search's ivfq rows at
+    partial probe and kg_hybrid_retrieval at full probe): the same two
+    hybrid requests as kg_hybrid_retrieval, served at the REAL ANN
+    config (n_probe=4 of 8 cells) — the deployment shape where each
+    query's chunk side scans ~half the corpus here and
+    n_probe/n_centroids of it at scale."""
+    from graphrag_spark import graph_query
+
+    kg = _kg(spark, sf_dir)
+    parts = []
+    for qtext in ("what is partnership", "compare partnership versus rollout"):
+        parts.append(
+            graph_query.hybrid_retrieval(
+                kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], qtext,
+                top_k=10, adjacency=kg["adjacency"], chunk_index=kg["chunk_index"],
+            )
+        )
+    return parts[0].unionByName(parts[1])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1503,6 +1576,21 @@ _VECTOR_SEARCH_CTES = f"""
         WHERE c.chunk_id <> (SELECT chunk_id FROM qv)
         ORDER BY similarity DESC, c.chunk_id LIMIT 10
     )
+"""
+
+
+# Widened per-query k for the exported batch_queries table — shared by
+# the brute-force 'batch:' twin and the index-pruned 'ivfq:' twin (the
+# widening rule must be literally identical in both recomputes).
+_BATCH_WIDEN_SQL = f"""
+                    SELECT query_id, qvec,
+                           CASE WHEN (len(regexp_split_to_array(q, '\\s+')) > 10
+                                      OR position('and' IN q) > 0
+                                      OR position('or' IN q) > 0)
+                                     OR {{comparative_hit}}
+                                THEN least(3 + 3, 10) ELSE 3 END AS k
+                    FROM (SELECT query_id, lower(query) AS q, qvec
+                          FROM {_p("batch_queries")})
 """
 
 
@@ -2207,15 +2295,29 @@ def oracle_sql() -> dict[str, str]:
                                     c.chunk_id) AS rk,
                        b.k
                 FROM (
-                    SELECT query_id, qvec,
-                           CASE WHEN (len(regexp_split_to_array(q, '\\s+')) > 10
-                                      OR position('and' IN q) > 0
-                                      OR position('or' IN q) > 0)
-                                     OR {_any_hit(_qa.COMPARATIVE_WORDS)}
-                                THEN least(3 + 3, 10) ELSE 3 END AS k
-                    FROM (SELECT query_id, lower(query) AS q, qvec
-                          FROM {_p("batch_queries")})
+{_BATCH_WIDEN_SQL.format(comparative_hit=_any_hit(_qa.COMPARATIVE_WORDS))}
                 ) b CROSS JOIN {_p("kg_chunks")} c
+            ) WHERE rk <= k
+            UNION ALL
+            -- ivfq: same batch through the IVF index at partial probe —
+            -- scoring restricted to each query's exported probe cells
+            -- (kg_chunk_probes) over the exported assignment
+            -- (kg_chunk_cells); widening/cosine/window recomputed here
+            SELECT 'ivfq:' || query_id, chunk_id, score,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM (
+                SELECT b.query_id, c.chunk_id,
+                       round(list_cosine_similarity(c.embedding, b.qvec), 6) AS score,
+                       row_number() OVER (PARTITION BY b.query_id
+                           ORDER BY round(list_cosine_similarity(c.embedding, b.qvec), 6) DESC,
+                                    c.chunk_id) AS rk,
+                       b.k
+                FROM (
+{_BATCH_WIDEN_SQL.format(comparative_hit=_any_hit(_qa.COMPARATIVE_WORDS))}
+                ) b
+                JOIN {_p("kg_chunk_probes")} p ON p.query_id = b.query_id
+                JOIN {_p("kg_chunk_cells")} a ON a.cluster = p.cluster
+                JOIN {_p("kg_chunks")} c ON c.chunk_id = a.chunk_id
             ) WHERE rk <= k
         """,
         "kg_decay_expansion": f"""

@@ -29,6 +29,7 @@ def prepare_sources(
     mentions: DataFrame,
     nodes: DataFrame,
     max_entities: int = MAX_SOURCE_ENTITIES,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Source records for a retrieval result set (generation.py:45-119):
 
@@ -48,9 +49,16 @@ def prepare_sources(
 
     All joins are semijoins from a top-k-sized retrieval frame into the
     stored tables, so the work is bounded by the retrieval size, not
-    the corpus."""
+    the corpus.
+
+    ``keys`` (e.g. ['query_id']) makes this the batch twin for a
+    whole-query-table context frame: the per-chunk entity ranking and
+    csv are computed ONCE over the union of all queries' chunks (they
+    are query-independent), then joined back to the keyed rows — per
+    query identical to the unkeyed call (pytest-asserted)."""
+    kc = list(keys or [])
     rel = retrieved.filter(F.col("score") > 0.0).select(
-        "chunk_id", "source", F.col("score").alias("relevance")
+        *kc, "chunk_id", "source", F.col("score").alias("relevance")
     )
     ents = (
         mentions.join(F.broadcast(rel.select("chunk_id").distinct()), "chunk_id")
@@ -75,6 +83,7 @@ def prepare_sources(
         base.filter(F.col("source") == "entity_based")
         .join(ents_ranked.filter(F.col("rk") <= max_entities), "chunk_id")
         .select(
+            *kc,
             F.lit("entity").alias("kind"),
             "chunk_id",
             F.col("name").alias("entity_name"),
@@ -95,6 +104,7 @@ def prepare_sources(
             | F.col("contained_entities").isNull()
         )
         .select(
+            *kc,
             F.lit("chunk").alias("kind"),
             "chunk_id",
             F.lit(None).cast("string").alias("entity_name"),

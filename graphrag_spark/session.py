@@ -50,6 +50,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/graphrag_warehouse"),
         )
         .config("spark.ui.enabled", "false")
+        # cap plan STRINGS (UI/event-log rendering only, never the plan
+        # itself): a deep composed plan (e.g. the batch graph-RAG chain
+        # before its lineage checkpoints) can OOM the driver purely in
+        # QueryExecution.explainString — 1M chars is far above any real
+        # plan dump while bounding the allocation
+        .config("spark.sql.maxPlanStringLength", "1000000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

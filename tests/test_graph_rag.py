@@ -245,3 +245,196 @@ def test_batch_retrieve_hybrid_empty_queries_schema(kg):
     out = graph_query.batch_retrieve_hybrid(chunks, nodes, mentions, triples, empty)
     assert out.columns == ["query_id", "chunk_id", "source", "score"]
     assert out.count() == 0
+
+
+@pytest.fixture(scope="module")
+def chunk_ivf(kg):
+    """IvfIndex over the KG chunk embeddings, as a deployment builds it
+    once per corpus (round-4 VERDICT item 2 serving seam)."""
+    from graphrag_spark.similarity import IvfIndex
+
+    chunks = kg[0]
+    idx = IvfIndex.build(chunks, n_centroids=4, id_col="chunk_id", n_probe=2)
+    idx.cells = idx.cells.persist()
+    idx.cells.count()
+    return idx
+
+
+def test_retrieve_with_chunk_index_exact_at_full_probe(kg, chunk_ivf):
+    """retrieve/hybrid served through the ANN index at full probe must
+    be row-identical to the brute-force scan, for every index-eligible
+    mode and a query mix that exercises widening + the path side."""
+    from graphrag_spark import graph_query
+
+    chunks, nodes, mentions, triples = kg
+    full = chunk_ivf.n_centroids
+    for mode in ("chunk_only", "hybrid"):
+        for q in ("what is partnership", "compare partnership versus rollout"):
+            direct = [
+                tuple(r)
+                for r in graph_query.retrieve(
+                    chunks, nodes, mentions, triples, q, mode=mode, top_k=5
+                ).collect()
+            ]
+            via = [
+                tuple(r)
+                for r in graph_query.retrieve(
+                    chunks, nodes, mentions, triples, q, mode=mode, top_k=5,
+                    chunk_index=type(chunk_ivf)(
+                        chunk_ivf.centroids, chunk_ivf.cells,
+                        id_col="chunk_id", n_probe=full,
+                    ),
+                ).collect()
+            ]
+            assert via == direct, (mode, q)
+
+
+def test_batch_retrieve_with_chunk_index_exact_at_full_probe(kg, chunk_ivf):
+    """Batch twins through the index at full probe equal the cross-join
+    route exactly (the probe join covers every (chunk, query) pair)."""
+    from graphrag_spark import graph_query
+
+    chunks, nodes, mentions, triples = kg
+    spark = chunks.sparkSession
+    qs = [
+        ("b1", "what is partnership"),
+        ("b2", "compare partnership versus rollout"),
+        ("b3", "explain the relationship between alpha and beta"),
+    ]
+    qdf = spark.createDataFrame(qs, "query_id string, query string")
+    full = chunk_ivf.n_centroids
+    for mode in ("chunk_only", "hybrid"):
+        direct = {
+            tuple(r)
+            for r in graph_query.batch_retrieve(
+                chunks, nodes, mentions, triples, qdf, mode=mode, top_k=5
+            ).collect()
+        }
+        via = {
+            tuple(r)
+            for r in graph_query.batch_retrieve(
+                chunks, nodes, mentions, triples, qdf, mode=mode, top_k=5,
+                chunk_index=type(chunk_ivf)(
+                    chunk_ivf.centroids, chunk_ivf.cells,
+                    id_col="chunk_id", n_probe=full,
+                ),
+            ).collect()
+        }
+        assert via == direct, mode
+
+
+def test_chunk_index_validation(kg, chunk_ivf):
+    """An index keyed on anything but chunk_id is rejected loudly."""
+    from graphrag_spark import graph_query
+    from graphrag_spark.similarity import IvfIndex
+
+    chunks, nodes, mentions, triples = kg
+    bad = IvfIndex(chunk_ivf.centroids, chunk_ivf.cells, id_col="vec_id")
+    with pytest.raises(ValueError, match="chunk_id"):
+        graph_query.retrieve(
+            chunks, nodes, mentions, triples, "what is partnership",
+            mode="chunk_only", chunk_index=bad,
+        )
+
+
+def test_batch_indexed_partial_probe_prunes(kg, chunk_ivf):
+    """At partial probe the batch scoring touches ONLY probed cells:
+    every returned chunk belongs to one of its query's probed cells,
+    and per-query result size still honors k."""
+    from graphrag_spark import graph_query
+
+    chunks, nodes, mentions, triples = kg
+    spark = chunks.sparkSession
+    qs = [("p1", "what is partnership"), ("p2", "gamma delta")]
+    qdf = spark.createDataFrame(qs, "query_id string, query string")
+    got = graph_query.batch_retrieve_chunks(
+        chunks, qdf, top_k=5, chunk_index=chunk_ivf, n_probe=1
+    ).collect()
+    assert got
+    cell_of = {r["chunk_id"]: r["cluster"] for r in chunk_ivf.cells.select("chunk_id", "cluster").collect()}
+    from graphrag_spark.embeddings import embed_texts_np
+
+    for qid, text in qs:
+        probed = set(chunk_ivf.probes([float(x) for x in embed_texts_np([text])[0]], 1))
+        rows = [r for r in got if r["query_id"] == qid]
+        assert len(rows) <= 5
+        for r in rows:
+            assert cell_of[r["chunk_id"]] in probed, (qid, r["chunk_id"])
+
+
+def test_batch_graph_rag_query_matches_per_query(kg):
+    """Round 5 (r4 VERDICT item 3): the whole-composition batch twin —
+    analysis, retrieval (incl. the graph-expansion gate), reasoning
+    enhancement, source assembly, and metadata — must reproduce
+    graph_rag_query per query, for a gated + ungated query mix and for
+    both an enhancing and a non-enhancing retrieval mode."""
+    from graphrag_spark.graph_rag import batch_graph_rag_query
+    from graphrag_spark.query_analysis import py_analyze_query, py_detect_follow_up
+    from graphrag_spark.token_budget import py_split_batches
+
+    chunks, nodes, mentions, triples = kg
+    spark = chunks.sparkSession
+    qs = [
+        ("g1", "what is partnership"),                        # factual, ungated
+        ("g2", "compare partnership versus rollout"),         # comparative -> gated
+        ("g3", "explain the relationship between alpha and beta"),  # complex -> gated
+        ("g4", "gamma delta"),                                # general, ungated
+    ]
+    qdf = spark.createDataFrame(qs, "query_id string, query string")
+    content_of = {
+        r["chunk_id"]: r["content"]
+        for r in chunks.select("chunk_id", "content").collect()
+    }
+
+    for mode in ("graph_enhanced", "chunk_only"):
+        got = batch_graph_rag_query(
+            chunks, nodes, mentions, triples, qdf, retrieval_mode=mode, top_k=5
+        )
+        by_ret: dict[str, set] = {}
+        for r in got["retrieved"].collect():
+            by_ret.setdefault(r["query_id"], set()).add(tuple(r)[1:])
+        by_ctx: dict[str, set] = {}
+        for r in got["context"].collect():
+            by_ctx.setdefault(r["query_id"], set()).add(tuple(r)[1:])
+        by_src: dict[str, set] = {}
+        for r in got["sources"].collect():
+            by_src.setdefault(r["query_id"], set()).add(tuple(r)[1:])
+        by_meta = {r["query_id"]: r for r in got["metadata"].collect()}
+        by_ana = {r["query_id"]: r for r in got["analysis"].collect()}
+        by_bat: dict[str, list] = {}
+        for r in sorted(
+            got["batches"].collect(), key=lambda r: (r["query_id"], r["chunk_index"])
+        ):
+            by_bat.setdefault(r["query_id"], []).append(
+                (r["batch_id"], r["content"], r["truncated"])
+            )
+
+        for qid, text in qs:
+            single = graph_rag_query(
+                chunks, nodes, mentions, triples, text, retrieval_mode=mode, top_k=5
+            )
+            want_ret = {tuple(r) for r in single["retrieved"].collect()}
+            assert by_ret.get(qid, set()) == want_ret, (mode, qid, "retrieved")
+            ctx_rows = single["context"].collect()
+            want_ctx = {tuple(r) for r in ctx_rows}
+            assert by_ctx.get(qid, set()) == want_ctx, (mode, qid, "context")
+            want_src = {tuple(r) for r in single["sources"].collect()}
+            assert by_src.get(qid, set()) == want_src, (mode, qid, "sources")
+            m = by_meta[qid]
+            assert m["chunks_used"] == single["metadata"]["chunks_used"], (mode, qid)
+            for k in ("query_type", "complexity", "multi_hop_recommended"):
+                assert m[k] == single["metadata"][k], (mode, qid, k)
+            ana = by_ana[qid]
+            want_ana = py_analyze_query(text)
+            want_ana.update(py_detect_follow_up(text))
+            for k in ("query_type", "complexity", "multi_hop_recommended",
+                      "requires_multiple_sources", "is_follow_up", "needs_context"):
+                assert ana[k] == want_ana[k], (mode, qid, k)
+            # batches: packing equals the reference trace over the
+            # context contents in (score desc, chunk_id) order
+            ordered = [
+                content_of[r["chunk_id"]]
+                for r in sorted(ctx_rows, key=lambda r: (-r["score"], r["chunk_id"]))
+            ]
+            want_bat = py_split_batches(text, ordered, 8192, 0)
+            assert by_bat.get(qid, []) == want_bat, (mode, qid, "batches")

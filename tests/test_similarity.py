@@ -152,3 +152,21 @@ def test_lsh_candidate_pairs_empty_input(spark):
     assert lsh_candidate_pairs(empty).count() == 0
     # with dim given, no probe job runs at all and the plan is lazy
     assert lsh_candidate_pairs(empty, dim=16).count() == 0
+
+
+def test_ivf_index_handle_exact_at_full_probe(spark, emb_df, vecs):
+    """Round 5: the IvfIndex serving handle equals brute force exactly
+    at n_probe = n_centroids (every cell probed — same scoring expr,
+    rounding, and tiebreak), and prunes to probed cells below that."""
+    from graphrag_spark.similarity import IvfIndex
+
+    idx = IvfIndex.build(emb_df, n_centroids=4, id_col="vec_id", n_probe=2)
+    q = [float(x) for x in vecs[7]]
+    exact = [tuple(r) for r in cosine_topk_query(emb_df, q, k=8, id_col="vec_id").collect()]
+    via_index = [tuple(r) for r in idx.topk(q, k=8, n_probe=idx.n_centroids).collect()]
+    assert via_index == exact
+
+    # partial probe: every candidate really comes from a probed cell
+    probes = set(idx.probes(q, 2))
+    cand_clusters = {r["cluster"] for r in idx.candidates(q, 2).select("cluster").distinct().collect()}
+    assert cand_clusters <= probes and cand_clusters
