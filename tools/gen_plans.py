@@ -75,6 +75,50 @@ sections.append(("T7 persisted fulltext index — partition-pruned query",
   "scoring is a broadcast-terms join + partial-agg rollup.",
   plan(fulltext_search_index_path(spark, _ft_path, "partnership rollout"))))
 
+# round-5 serving ops: persisted IVF ANN (partition-pruned probe) and
+# set-oriented batch retrieval (one corpus read for a whole query table)
+from graphrag_spark.similarity import ivf_build_index, ivf_query_index, IvfIndex
+from graphrag_spark.embeddings import embed_texts_np
+
+_ivf_path = tempfile.mkdtemp() + "/ivf_index"
+_C = ivf_build_index(_chunks, _ivf_path, n_centroids=8, id_col="chunk_id")
+_qvec = [float(x) for x in embed_texts_np(["quarterly partnership rollout"])[0]]
+sections.append(("T1 served from a persisted IVF index — partition-pruned ANN probe",
+  "The scan's PartitionFilters carry cluster IN (<probed cells>): only "
+  "n_probe of n_centroids cell partitions are listed/read (per-query "
+  "scan cost O(n * n_probe / n_centroids), not O(n)); scoring within "
+  "the probed cells is the same codegen'd cosine projection + "
+  "TakeOrderedAndProject as the brute-force route, so results are "
+  "bit-identical at full probe.",
+  plan(ivf_query_index(spark, _ivf_path, _qvec, _C, k=5, n_probe=2, id_col="chunk_id"))))
+
+from graphrag_spark.graph_query import batch_retrieve_chunks
+_qdf = spark.createDataFrame(
+    [("q0", "quarterly partnership"), ("q1", "compare rollout versus baseline")],
+    "query_id string, query string")
+sections.append(("Batch multi-query retrieval (batch_retrieve_chunks) — one corpus read for the whole query table",
+  "The query table (analysis + embedding + per-query k, all native "
+  "columns / one Arrow pass) broadcasts into ONE cross join: each "
+  "chunk partition scores every query in place, so the corpus is read "
+  "once for the batch instead of once per query; per-query top-k is a "
+  "single window over (query_id, -score, chunk_id). With chunk_index= "
+  "the cross join is replaced by probe-pruned scoring (each query "
+  "scores only its n_probe cells; identical at full probe).",
+  plan(batch_retrieve_chunks(_chunks, _qdf, top_k=3))))
+sections.append(("Batch retrieval through the IVF index — probe-pruned scoring",
+  "The (query_id, cluster) probe pairs (driver-computed against the "
+  "tiny centroid matrix) broadcast-join the cell frame: each query "
+  "scores ONLY its probed cells' vectors, and a cell probed by many "
+  "queries is still read once for all of them. Over the persisted "
+  "layout Catalyst turns the probe join into DYNAMIC partition "
+  "pruning — the scan below carries "
+  "dynamicpruningexpression(cluster IN ...), so unprobed cluster= "
+  "partitions are dropped from the file listing at runtime.",
+  plan(batch_retrieve_chunks(
+      _chunks, _qdf, top_k=3,
+      chunk_index=IvfIndex(_C, spark.read.parquet(_ivf_path), id_col="chunk_id"),
+      n_probe=2))))
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("# Physical plans of headline operators\n\n")
     f.write("Generated by tools (explain('formatted') at sf0.01). What to look for\nis noted per section; regenerate with `python tools/gen_plans.py`.\n\n")
