@@ -90,6 +90,8 @@ def run_kg_pipeline(spark, sf_dir: str, amplify: int = 1) -> tuple[float, int]:
     wall = time.time() - t0
     out["extracted"].unpersist()
     out["cmap"].unpersist()
+    out["entities"].unpersist()
+    out["mentions_norm"].unpersist()
     docs.unpersist()
     return wall, n_triples
 

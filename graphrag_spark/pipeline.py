@@ -96,7 +96,17 @@ def run_in_memory(
         smap = normalize.materialize_surface_map(mentions_raw)
     mentions_norm = normalize.normalize_mentions(mentions_raw, smap).persist()
     rels_norm = normalize.normalize_rels(rels_raw, smap if fmt == "occurrences" else None)
-    entities = linking.link_entities(linking.dedup_entities(mentions_norm), linking.alias_dictionary(spark))
+    # persisted: canonical_map references this frame THREE times (CC
+    # edges, members, reps) across two separate actions — the union-find
+    # edge collect materializes the cache once and the cmap
+    # materialization then reads it instead of re-running the salted
+    # dedup + link chain (~20 AQE jobs -> ~6 at sf0.01, and the 4N-side
+    # per-job overhead is exactly where small-amplify scaling
+    # efficiency goes; the frame is one row per distinct surface key,
+    # i.e. vocabulary-bounded)
+    entities = linking.link_entities(
+        linking.dedup_entities(mentions_norm), linking.alias_dictionary(spark)
+    ).persist()
     cmap = materialize.canonical_map(entities).persist()
     if fmt == "occurrences":
         # triples resolve straight from raw rels via the pre-composed
