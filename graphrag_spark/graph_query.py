@@ -464,6 +464,107 @@ def attach_adjacency_cap(adjacency: DataFrame, max_connections: int) -> DataFram
     return adjacency
 
 
+def _validate_adjacency_cap(adjacency: DataFrame, max_entity_connections: int) -> None:
+    """Raise when an adjacency index was built with a smaller per-entity
+    cap than the expansion wants — each hop would be silently truncated
+    (r4 ADVICE item; the cap is part of the index contract)."""
+    adj_cap = getattr(adjacency, "_graphrag_adj_cap", None)
+    if adj_cap is not None and adj_cap < max_entity_connections:
+        raise ValueError(
+            f"expand_with_strength_decay: adjacency index was built with "
+            f"max_connections={adj_cap} < max_entity_connections="
+            f"{max_entity_connections}; each hop would be silently "
+            "truncated. Rebuild the index with a cap >= the expansion cap."
+        )
+
+
+def expand_with_strength_decay_lazy(
+    adjacency: DataFrame,
+    seed_frame: DataFrame,
+    max_entity_connections: int = 20,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """``expand_with_strength_decay`` (adjacency-served, max_depth=2 —
+    the serving defaults) as ONE lazy plan: no per-hop driver collect,
+    so a caller that folds the expansion into a larger query (e.g.
+    ``hybrid_retrieval``'s entity side) pays ZERO extra Spark jobs for
+    it — the whole 2-hop expansion executes inside the consumer's
+    single action. Bit-identical to the driver loop (pytest-asserted
+    via the adjacency-equality test; the loop itself is trace-tested
+    against a pure-Python oracle).
+
+    The loop's data-dependent control flow maps to plan constructs:
+    - per-depth frontier cap -> row_number window over the (bounded,
+      <= cap x cap rows) candidate set;
+    - visited-set "only NEW entities form the next frontier" ->
+      left_anti join against the prior level's names;
+    - the early-stop rule (stop after depth 1 when the expanded set
+      exceeds 3x the cap) -> a scalar count broadcast-cross-joined as
+      a filter gate on the hop-2 contributions;
+    - "score = max(existing, strength * decay^d)" -> union all
+      per-level contributions and take max per name (exact: decay
+      scaling is monotone, so max commutes with it).
+
+    ``seed_frame`` is a (name string) frame — may itself be a lazy
+    subtree (e.g. the seed-entity top-k off a retrieval scan). All
+    intermediate frames are vocabulary-bounded: every hop joins the
+    bounded adjacency index against a <= cap-row frontier."""
+    _validate_adjacency_cap(adjacency, max_entity_connections)
+    cap = max_entity_connections
+    seeds_d = seed_frame.select("name").distinct()
+    # depth-0 frontier: top cap seeds by (score desc, name) — all seeds
+    # score 1.0, so alphabetical; single-partition window is fine (the
+    # frame is seed-scale by contract)
+    w_seed = Window.orderBy("name")
+    front1 = (
+        seeds_d.withColumn("_rk", F.row_number().over(w_seed))
+        .filter(F.col("_rk") <= cap)
+        .select(F.col("name").alias("src"))
+    )
+    hop = lambda front: (  # noqa: E731 — shared hop shape, bounded output
+        adjacency.join(F.broadcast(front), "src")
+        .filter((F.col("rk") <= cap) & (F.col("strength") >= threshold))
+        .groupBy(F.col("dst").alias("name"))
+        .agg(F.max("strength").alias("s"))
+    )
+    # ALL depth-1 candidates contribute a score (existing names via the
+    # final max-merge); only names NOT already scored form frontier 2
+    c1 = hop(front1).select("name", (F.col("s") * F.lit(0.7)).alias("score"))
+    new1 = c1.join(seeds_d, "name", "left_anti")
+    # early-stop gate: |scores after depth 1| = |seeds| + |new1|
+    # (disjoint by construction); depth 2 runs iff it is <= 3*cap
+    gate = (
+        seeds_d.select("name")
+        .unionAll(new1.select("name"))
+        .agg(F.count("*").alias("n_after1"))
+    )
+    w_front = Window.orderBy(F.desc("score"), "name")
+    front2 = (
+        new1.withColumn("_rk", F.row_number().over(w_front))
+        .filter(F.col("_rk") <= cap)
+        .select(F.col("name").alias("src"))
+    )
+    c2 = (
+        hop(front2)
+        .select("name", (F.col("s") * F.lit(0.7**2)).alias("score"))
+        .crossJoin(F.broadcast(gate))
+        .filter(F.col("n_after1") <= F.lit(3 * cap))
+        .select("name", "score")
+    )
+    scores = (
+        seeds_d.select("name", F.lit(1.0).alias("score"))
+        .unionAll(c1)
+        .unionAll(c2)
+        .groupBy("name")
+        .agg(F.max("score").alias("score"))
+    )
+    return (
+        scores.select("name", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), "name")
+        .limit(2 * cap)
+    )
+
+
 def expand_with_strength_decay(
     triples: DataFrame,
     seeds: list[str],
@@ -512,13 +613,16 @@ def expand_with_strength_decay(
     """
     spark = triples.sparkSession
     if adjacency is not None:
-        adj_cap = getattr(adjacency, "_graphrag_adj_cap", None)
-        if adj_cap is not None and adj_cap < max_entity_connections:
-            raise ValueError(
-                f"expand_with_strength_decay: adjacency index was built with "
-                f"max_connections={adj_cap} < max_entity_connections="
-                f"{max_entity_connections}; each hop would be silently "
-                "truncated. Rebuild the index with a cap >= the expansion cap."
+        _validate_adjacency_cap(adjacency, max_entity_connections)
+        if max_depth == 2:
+            # the serving configuration: one lazy plan, zero per-hop
+            # driver collects — a consuming action executes the whole
+            # expansion as part of its own job
+            seed_frame = spark.createDataFrame(
+                [(s,) for s in dict.fromkeys(seeds)], "name string"
+            )
+            return expand_with_strength_decay_lazy(
+                adjacency, seed_frame, max_entity_connections, threshold
             )
         edges = None
         adj = adjacency
@@ -734,21 +838,31 @@ def hybrid_retrieval(
     top_chunks = (
         scored_top.orderBy(F.desc("similarity"), "chunk_id").limit(10).select("chunk_id")
     )
-    seeds = [
-        r["name"]
-        for r in mentions.join(F.broadcast(top_chunks), "chunk_id")
+    seed_frame = (
+        mentions.join(F.broadcast(top_chunks), "chunk_id")
         .join(nodes.select("entity_id", "name", "importance"), "entity_id")
         .groupBy("name")
         .agg(F.max("importance").alias("importance"))
         .orderBy(F.desc("importance"), "name")
         .limit(5)
-        .collect()
-    ]
-    exp = (
-        expand_with_strength_decay(triples, seeds, adjacency=adjacency)
-        if seeds
-        else None
+        .select("name")
     )
+    # seeds are collected only when a driver loop needs the literal
+    # list (the beam path side, or edge-frame expansion without an
+    # adjacency index). On the adjacency-served factual route the seed
+    # subtree stays LAZY and the whole request after the retrieval scan
+    # is ONE action: seeding + 2-hop decay expansion + entity side +
+    # 3-way merge all execute inside the consumer's single job.
+    seeds: list[str] | None = None
+    if split["path_count"] > 0 or adjacency is None:
+        seeds = [r["name"] for r in seed_frame.collect()]
+        seed_frame = chunks.sparkSession.createDataFrame(
+            [(s,) for s in seeds], "name string"
+        )
+    if adjacency is not None:
+        exp = expand_with_strength_decay_lazy(adjacency, seed_frame)
+    else:
+        exp = expand_with_strength_decay(triples, seeds) if seeds else None
     if exp is not None:
         entity_side = (
             mentions.join(nodes.select("entity_id", "name"), "entity_id")
