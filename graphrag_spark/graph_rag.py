@@ -152,45 +152,40 @@ def batch_retrieve_documents(
     comparative queries when ``graph_expansion`` is on) is evaluated as
     a column over the analyzed batch; non-gated queries go through the
     set-oriented ``batch_retrieve`` dispatcher in one pass, gated ones
-    run ``retrieve_with_graph_expansion`` per query (the graph-expanded
-    widening is a bounded per-query composition, like the multi-hop
-    path side in ``batch_retrieve_hybrid`` — factual/simple batches
-    never pay it). Returns (query_id, chunk_id, source, score)."""
+    through ``batch_retrieve_with_graph_expansion`` — also one pass
+    (the graph-expanded widening was the batch family's last per-query
+    driver loop; a complex/comparative-heavy batch now runs it as
+    set-oriented jobs). Returns (query_id, chunk_id, source, score)."""
     from .query_analysis import analyze_queries
 
-    spark = queries.sparkSession
     meta = analyze_queries(queries, query_col)
     gated = (F.col("complexity") == "complex") | (
         F.col("query_type") == "comparative"
     )
-    exp_rows = (
-        meta.filter(gated).select(id_col, query_col).collect()
+    exp_ids = (
+        [r[id_col] for r in meta.filter(gated).select(id_col).collect()]
         if graph_expansion
         else []
     )
-    exp_ids = [r[id_col] for r in exp_rows]
     plain = queries.filter(~F.col(id_col).isin(exp_ids)) if exp_ids else queries
-    parts = [
-        graph_query.batch_retrieve(
-            chunks, nodes, mentions, triples, plain, mode=retrieval_mode,
-            top_k=top_k, id_col=id_col, query_col=query_col,
-            chunk_index=chunk_index,
-        )
-    ]
-    for r in exp_rows:
+    out = graph_query.batch_retrieve(
+        chunks, nodes, mentions, triples, plain, mode=retrieval_mode,
+        top_k=top_k, id_col=id_col, query_col=query_col,
+        chunk_index=chunk_index,
+    )
+    if exp_ids:
         # raw top_k, same double-widening note as retrieve_documents
-        parts.append(
-            graph_query.retrieve_with_graph_expansion(
-                chunks, nodes, mentions, triples, r[query_col],
+        out = out.unionByName(
+            graph_query.batch_retrieve_with_graph_expansion(
+                chunks, nodes, mentions, triples,
+                queries.filter(F.col(id_col).isin(exp_ids)),
                 mode=retrieval_mode, top_k=top_k,
+                id_col=id_col, query_col=query_col, chunk_index=chunk_index,
             ).select(
-                F.lit(r[id_col]).alias(id_col), "chunk_id", "source",
+                id_col, "chunk_id", "source",
                 F.col("similarity").alias("score"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
     return out
 
 

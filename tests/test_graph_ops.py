@@ -503,6 +503,60 @@ def test_decay_expansion_via_adjacency_index(kg):
     assert over == 0
 
 
+def _expand_both_ways(spark, edges, seeds):
+    """(driver edge-frame loop, lazy adjacency plan) results for the
+    same synthetic graph — the equality harness for the fused
+    expansion's control-flow mapping."""
+    triples = spark.createDataFrame(edges, "subj string, obj string, strength double")
+    adj = graph_query.build_entity_adjacency(triples, max_connections=20)
+    direct = [
+        (r["name"], r["score"])
+        for r in graph_query.expand_with_strength_decay(triples, seeds).collect()
+    ]
+    lazy = [
+        (r["name"], r["score"])
+        for r in graph_query.expand_with_strength_decay(
+            triples, seeds, adjacency=adj
+        ).collect()
+    ]
+    return direct, lazy
+
+
+def test_lazy_expansion_early_stop_gate(spark):
+    """Round 5: the fused one-plan expansion maps the driver loop's
+    early-stop rule (break after depth 1 when |scores| > 3*cap) to a
+    broadcast scalar filter gate. Engineered graph: 4 seeds x 20
+    distinct neighbors -> 84 scored names after hop 1 (> 60), so hop 2
+    must NOT run — each neighbor's strong (0.9) second-level edge would
+    otherwise outrank the 0.35 hop-1 scores inside the top-40 trim."""
+    edges = []
+    for i in range(4):
+        for j in range(20):
+            edges.append((f"s{i}", f"n{i}{j:02d}", 0.5))
+            edges.append((f"n{i}{j:02d}", f"m{i}{j:02d}", 0.9))
+    direct, lazy = _expand_both_ways(spark, edges, [f"s{i}" for i in range(4)])
+    assert direct == lazy
+    assert not [n for n, _ in lazy if n.startswith("m")]
+    assert all((f"s{i}", 1.0) in lazy for i in range(4))
+
+
+def test_lazy_expansion_second_hop_and_trim(spark):
+    """Complement of the gate test: 1 seed x 20 neighbors stays under
+    the early-stop bound, so hop 2 DOES run — second-level nodes score
+    0.9*0.49 and the 41-name result trims to 2*cap=40 identically in
+    both implementations (incl. the seed's max-merge against its own
+    hop-2 back-edge)."""
+    edges = []
+    for j in range(20):
+        edges.append(("s1", f"n{j:02d}", 0.5))
+        edges.append((f"n{j:02d}", f"m{j:02d}", 0.9))
+    direct, lazy = _expand_both_ways(spark, edges, ["s1"])
+    assert direct == lazy
+    assert len(lazy) == 40
+    assert ("s1", 1.0) in lazy
+    assert ("m00", round(0.9 * 0.49, 6)) in lazy
+
+
 def test_adjacency_cap_validated(kg):
     """Round 5 (r4 ADVICE): an adjacency index built with a smaller cap
     than the expansion's max_entity_connections would silently truncate

@@ -362,6 +362,38 @@ def test_batch_indexed_partial_probe_prunes(kg, chunk_ivf):
             assert cell_of[r["chunk_id"]] in probed, (qid, r["chunk_id"])
 
 
+def test_batch_graph_expansion_matches_per_query(kg):
+    """Round 5: the set-oriented graph-expanded retrieval (the batch
+    family's last per-query driver loop) reproduces
+    retrieve_with_graph_expansion per query for every resolved mode —
+    both expansion branches, the per-query n_initial-dependent caps,
+    and the branch-priority merge."""
+    from graphrag_spark import graph_query
+
+    chunks, nodes, mentions, triples = kg
+    spark = chunks.sparkSession
+    qs = [
+        ("e1", "compare partnership versus rollout"),
+        ("e2", "explain the relationship between alpha and beta"),
+        ("e3", "what is partnership"),
+    ]
+    qdf = spark.createDataFrame(qs, "query_id string, query string")
+    for mode in ("hybrid", "entity_only", "chunk_only"):
+        got: dict[str, set] = {}
+        for r in graph_query.batch_retrieve_with_graph_expansion(
+            chunks, nodes, mentions, triples, qdf, mode=mode, top_k=3
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(tuple(r)[1:])
+        for qid, text in qs:
+            want = {
+                tuple(r)
+                for r in graph_query.retrieve_with_graph_expansion(
+                    chunks, nodes, mentions, triples, text, mode=mode, top_k=3
+                ).collect()
+            }
+            assert got.get(qid, set()) == want, (mode, qid)
+
+
 def test_batch_graph_rag_query_matches_per_query(kg):
     """Round 5 (r4 VERDICT item 3): the whole-composition batch twin —
     analysis, retrieval (incl. the graph-expansion gate), reasoning

@@ -41,13 +41,14 @@ sections.append(("Exact global kNN (knn_edges) — block-pair decomposition",
   "Per-task memory O((n/nb)^2); shuffle O(n*nb).",
   plan(em.queries()["knn_edges"](spark, sf))))
 sections.append(("G6 strength-decay expansion (kg_decay_expansion)",
-  "Per-depth: broadcast the <=20-entity frontier into the edge frame "
-  "(or the materialized adjacency index), DISTRIBUTED top-20 window "
-  "per src bounds the hop to frontier x cap rows, which are collected "
-  "for driver-side score bookkeeping (one bounded job per depth, no "
-  "checkpoint lineage). The plan below is the final frame: a literal "
-  "RDD -> round projection -> TakeOrderedAndProject — the expansion "
-  "itself already ran as the per-depth jobs.",
+  "Adjacency-served (the serving default, max_depth=2): ONE lazy plan "
+  "— each hop is a BroadcastHashJoin of the bounded adjacency index "
+  "against a <=cap-row frontier subtree, frontier caps are windows "
+  "over <=cap x cap rows, the visited set is an anti-join, the "
+  "early-stop rule a broadcast scalar gate; no per-hop driver collect "
+  "(the whole expansion executes inside the consuming action). "
+  "Without an index (or at other depths) the driver loop runs one "
+  "bounded no-shuffle job per depth against the edge frame.",
   plan(em.queries()["kg_decay_expansion"](spark, sf))))
 sections.append(("J6 hybrid merge (kg_hybrid_merge)",
   "Full-outer SortMergeJoin keyed by chunk_id over two small scored "
