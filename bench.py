@@ -193,29 +193,47 @@ def bench_scaling(
       the constant per-job overhead, as it would at real scale.
     - alternating best-of-N repeats: the sandbox shows bursty steal
       time (7-12%); best-case per level isolates neighbor noise.
+    - CPU-affinity pinning (default on; SPARK_GRAFT_SCALE_PIN=0
+      disables): local[N] caps only the TASK SLOTS — the single JVM's
+      GC/JIT/shuffle threads still run on all physical cores, so the
+      small-N side secretly gets ~32 cores of GC for its 2 task
+      threads. A round-5 phase profile showed exactly the allocation-
+      heavy JVM stages (normalize/link/triples joins) "scaling" at
+      1.8-2.2x from 2->8 cores while the Python-worker stages
+      (chunking/extraction, whose CPU lives in exactly-N worker
+      processes) scaled at 3.5-4.3x. A real 2-executor cluster gets no
+      free GC cores, so the faithful N-vs-4N proxy pins each
+      measurement's whole process tree to exactly N CPUs.
     """
     n_small = n_small or int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     n_large = n_large or 4 * n_small
     amplify = amplify if amplify is not None else int(os.environ.get("SPARK_GRAFT_SCALE_AMPLIFY", "16"))
-    results = {n_small: [], n_large: []}
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", str(repeats)))
+    # CPU-affinity pinning (default on; SPARK_GRAFT_SCALE_PIN=0 to
+    # disable): local[N] caps only the TASK SLOTS — the single JVM's
+    # GC/JIT/shuffle threads still run on all physical cores, so the
+    # small-N side secretly gets ~32 cores of GC for its 2 task
+    # threads. A round-5 phase profile showed exactly the
+    # allocation-heavy JVM stages (normalize/link/triples joins)
+    # "scaling" at 1.8-2.2x from 2->8 cores while the Python-worker
+    # stages (chunking/extraction, whose CPU lives in exactly-N worker
+    # processes) scaled at 3.5-4.3x. A real 2-executor cluster gets no
+    # free GC cores, so the faithful N-vs-4N proxy pins the whole
+    # process tree (JVM + pyspark workers inherit the affinity mask)
+    # to exactly N CPUs.
+    pin = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0" and hasattr(
+        os, "sched_setaffinity"
+    )
+    # Each measurement runs in its OWN subprocess: py4j keeps one JVM
+    # alive across SparkSession.stop()/getOrCreate() within a process,
+    # so in-process affinity changes would never reach an already-
+    # running JVM (a child inherits the mask only at spawn). A fresh
+    # process per run also means a fresh JVM per run — no warm JIT/
+    # code-cache crossing parallelism levels.
+    results: dict[int, list] = {n_small: [], n_large: []}
     for _ in range(repeats):
         for cpus in (n_small, n_large):
-            spark = get_spark(
-                app_name=f"graphrag-scaling-{cpus}",
-                master=f"local[{cpus}]",
-                shuffle_partitions=max(cpus * 2, 16),
-            )
-            spark.sparkContext.setLogLevel("ERROR")
-            # per-run contention marker (same fixed microbench as the
-            # default bench): a drifting calibration identifies runs
-            # poisoned by hypervisor-neighbor steal time, which shows
-            # up as 15%+ run-to-run variance on the 4N side
-            calib = _calibrate(spark)
-            wall, n_triples = run_kg_pipeline(spark, sf_dir, amplify=amplify)
-            results[cpus].append({"wall_sec": round(wall, 2), "triples": n_triples,
-                                  "triples_per_sec": round(n_triples / wall, 1),
-                                  "calibration_sec": calib})
-            spark.stop()
+            results[cpus].append(_scaling_run_subprocess(sf_dir, cpus, amplify, pin))
     best = {c: max(r, key=lambda x: x["triples_per_sec"]) for c, r in results.items()}
     eff = (best[n_large]["triples_per_sec"] / best[n_small]["triples_per_sec"]) / (n_large / n_small)
     return {
@@ -229,16 +247,73 @@ def bench_scaling(
         "sf": sf_dir,
         "amplify": amplify,
         "repeats": repeats,
+        "pinned": pin,
+    }
+
+
+def _scaling_run_subprocess(sf_dir: str, cpus: int, amplify: int, pin: bool) -> dict:
+    """One pinned pipeline measurement in a fresh process (fresh JVM).
+
+    The affinity mask is set in the child before anything spawns, so
+    the JVM and every pyspark worker it forks inherit exactly ``cpus``
+    CPUs."""
+    import subprocess
+
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--scaling-one",
+        "--cpus", str(cpus), "--amplify", str(amplify), "--sf-dir", sf_dir,
+    ]
+    preexec = (lambda: os.sched_setaffinity(0, set(range(cpus)))) if pin else None
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, preexec_fn=preexec,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"scaling child (cpus={cpus}) failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def bench_scaling_one(sf_dir: str, cpus: int, amplify: int) -> dict:
+    """Child-process body for one scaling measurement (see
+    _scaling_run_subprocess). Prints nothing — returns the record."""
+    spark = get_spark(
+        app_name=f"graphrag-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # contention markers (same fixed microbench as the default bench)
+    # taken BEFORE and AFTER the timed wall: a start-only marker misses
+    # mid-run hypervisor-neighbor steal bursts, which showed up as a
+    # 351->554 s spread on identical-start-calibration 4N runs across
+    # rounds 4-5. NOTE: under pinning the marker runs on the pinned
+    # cores, so it is comparable across runs at the SAME n, not across
+    # parallelism levels.
+    calib = _calibrate(spark)
+    wall, n_triples = run_kg_pipeline(spark, sf_dir, amplify=amplify)
+    calib_after = _calibrate(spark)
+    spark.stop()
+    return {
+        "wall_sec": round(wall, 2),
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / wall, 1),
+        "calibration_sec": calib,
+        "calibration_after_sec": calib_after,
+        "n_affinity_cpus": len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity") else None,
     }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-one", action="store_true", help="internal: one child measurement")
+    ap.add_argument("--amplify", type=int, default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
-    if args.scaling:
+    if args.scaling_one:
+        out = bench_scaling_one(args.sf_dir, args.cpus, args.amplify or 1)
+    elif args.scaling:
         out = bench_scaling(args.sf_dir)
     else:
         out = bench_default(args.sf_dir, args.cpus)
