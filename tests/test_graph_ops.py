@@ -6,19 +6,13 @@ import pyspark.sql.functions as F
 import pytest
 
 from graphrag_spark import graph_ops, graph_query
-from graphrag_spark.pipeline import run_in_memory
 
 
 @pytest.fixture(scope="module")
-def kg(spark, corpus_path):
-    docs = spark.read.parquet(corpus_path)
-    out = run_in_memory(spark, docs)
-    return {
-        "chunks": out["chunks"].persist(),
-        "mentions": out["mentions"].persist(),
-        "nodes": out["nodes"].persist(),
-        "triples": out["triples"].persist(),
-    }
+def kg(kg_out):
+    # shared session-scoped build (conftest.kg_out) in this module's
+    # dict shape
+    return {k: kg_out[k] for k in ("chunks", "mentions", "nodes", "triples")}
 
 
 def test_graph_stats(kg):

@@ -5,18 +5,13 @@ from __future__ import annotations
 import pytest
 
 from graphrag_spark.graph_rag import graph_rag_query, retrieve_documents
-from graphrag_spark.pipeline import run_in_memory
 
 
 @pytest.fixture(scope="module")
-def kg(spark, corpus_path):
-    out = run_in_memory(spark, spark.read.parquet(corpus_path))
-    return (
-        out["chunks"].persist(),
-        out["nodes"].persist(),
-        out["mentions"].persist(),
-        out["triples"].persist(),
-    )
+def kg(kg_out):
+    # shared session-scoped build (conftest.kg_out) in this module's
+    # positional shape
+    return (kg_out["chunks"], kg_out["nodes"], kg_out["mentions"], kg_out["triples"])
 
 
 def test_retrieval_node_expansion_gate(kg):
