@@ -27,6 +27,28 @@ real 2-executor cluster gets no such gift, which is why bench.py's
 JVM phases' ratios move toward 4x and the measured N-vs-4N efficiency
 rises accordingly).
 
+PINNED view, measured at amplify 12 (round 5, taskset 0-7 / 0-1):
+
+    phase          pinned[8]  pinned[2]  ratio   serial c_i*
+    chunk            20.6 s     76.0 s    3.69     2.2 s
+    embed            19.2 s     63.6 s    3.32     4.3 s
+    extract          33.6 s    125.7 s    3.75     2.9 s
+    mentions_norm    12.2 s     36.4 s    2.99     4.1 s
+    link             15.1 s     47.6 s    3.14     4.3 s
+    triples          25.6 s     72.8 s    2.85     9.8 s
+    sinks             5.7 s     16.3 s    2.87     2.2 s
+    smap/cmap/s2c    ~5.5 s     ~7.9 s    1.3-1.6  ~3.3 s
+    (* c_i = (4*p8 - p2)/3 from p2 = c + w/2, p8 = c + w/8)
+
+Pinning moved the JVM join/shuffle phases from 1.8-2.2x to ~2.9-3.1x
+as predicted. The residual non-scaling time is SPREAD — ~2-4 s per
+phase of stage-scheduling / broadcast-build / AQE-planning overhead —
+not concentrated in one stage; the fused triples leg is the largest
+single holder (9.8 s: broadcast-map build + two join stages + the
+salted two-phase pair aggregation each pay fixed stage overhead).
+Shaving the Amdahl c therefore means FEWER STAGES, not a faster
+stage: fuse/overlap phase boundaries or cut per-stage fixed costs.
+
 Usage:
     PYTHONPATH=/root/repo [PROFILE_AMPLIFY=48] [PROFILE_PIN=1] \
         python tools/profile_scaling.py
