@@ -64,13 +64,19 @@ def _oracle_path(name: str) -> str:
 _EXPORTED: set[tuple[str, str]] = set()
 
 
-def _export(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+def _export(df: DataFrame, sf_dir: str, name: str, n_files: int = 4) -> DataFrame:
     """Write a small table for the DuckDB twin to recompute from, and
     return the read-back frame so both engines consume the exact stored
-    bytes. Once per (sf_dir, table) per process."""
+    bytes. Once per (sf_dir, table) per process.
+
+    ``n_files`` (r6): single-row-group compacted files scan back as one
+    partition per file, so a LARGE export (candidate-pair tables) read
+    at file-count parallelism serializes every timed consumer; such
+    exports pass the session's core count to write one file per slot."""
     path = os.path.join(_export_dir(sf_dir), name)
     if (sf_dir, name) not in _EXPORTED:
-        df.coalesce(4).write.mode("overwrite").parquet(path)
+        shaped = df.repartition(n_files) if n_files > 4 else df.coalesce(4)
+        shaped.write.mode("overwrite").parquet(path)
         _EXPORTED.add((sf_dir, name))
     return df.sparkSession.read.parquet(path)
 
@@ -1073,7 +1079,10 @@ def _q_lsh_embedding_dups(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     # dim=64 here is the TESTDATA embeddings table's vector width (an
     # input property, TESTDATA.md), not the engine's EMBED_DIM
-    cand = _export(lsh_candidate_pairs(e, dim=64), sf_dir, "lsh_emb_cands")
+    cand = _export(
+        lsh_candidate_pairs(e, dim=64), sf_dir, "lsh_emb_cands",
+        n_files=spark.sparkContext.defaultParallelism,
+    )
     return verify_candidates_cosine(cand, e, threshold=0.35).orderBy("src", "dst")
 
 

@@ -252,7 +252,13 @@ def minhash_pairs_from_signatures(
     sigs: DataFrame, bands: int = 16, threshold: float = 0.7
 ) -> DataFrame:
     """Banded LSH pair generation over a precomputed (id, signature)
-    frame (see minhash_lsh_pairs for the recall guarantee)."""
+    frame (see minhash_lsh_pairs for the recall guarantee).
+
+    ``ensure_parallelism`` (r6): a compact signature file scans as one
+    partition, serializing the banding explode and every join probe;
+    the adaptive repartition is a no-op at real scale."""
+    from .session import ensure_parallelism
+
     first = sigs.select(F.size("signature").alias("n")).first()
     if first is None:  # empty input: no signatures, no pairs
         spark = sigs.sparkSession
@@ -267,6 +273,7 @@ def minhash_pairs_from_signatures(
         )
     num_perm = int(first["n"])
     rows_per_band = num_perm // bands
+    sigs = ensure_parallelism(sigs)
 
     # band/bucket rows carry ONLY the id: shipping the full signature
     # array through bands-per-row explode + self-join multiplies the
@@ -366,7 +373,21 @@ def simhash_near_pairs(
 
 def simhash_pairs_from_signatures(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Banded hamming search over a precomputed (id, simhash) frame
-    (see simhash_near_pairs for the pigeonhole recall guarantee)."""
+    (see simhash_near_pairs for the pigeonhole recall guarantee).
+
+    Execution shape (r6, guide §2.3/§2.4): the hamming verify runs
+    IN THE JOIN STAGE, before any dedup — hot buckets (template-heavy
+    corpora concentrate simhash bands) make the raw join output
+    quadratic in the hottest bucket, and the previous
+    dropDuplicates-then-filter order hash-aggregated that entire
+    candidate stream (19M rows at 50k docs) before throwing ~all of it
+    away. Filtering first keeps the dedup input at O(true pairs).
+    ``ensure_parallelism`` guards the probe side: a compact signature
+    file scans as one partition, which would serialize the whole
+    candidate generation."""
+    from .session import ensure_parallelism
+
+    sigs = ensure_parallelism(sigs)
     bands = min(max(max_hamming + 1, 2), 32)  # >=2-bit bands
     band_structs = []
     for b in range(bands):
@@ -385,13 +406,14 @@ def simhash_pairs_from_signatures(sigs: DataFrame, max_hamming: int = 3) -> Data
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = banded.select("band", "bucket", F.col("id").alias("src"), F.col("simhash").alias("ha"))
     right = banded.select("band", "bucket", F.col("id").alias("dst"), F.col("simhash").alias("hb"))
-    cands = (
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("src") < F.col("dst"))
-        .dropDuplicates(["src", "dst"])
+        .select("src", "dst", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cands.select("src", "dst", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 
 _SIMHASH_KEY_HI = "graphrag-simhash"  # 16-byte siphash key for the hi word
@@ -469,7 +491,12 @@ def simhash128_near_pairs(
 
 def simhash128_pairs_from_signatures(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Banded 128-bit hamming search over a precomputed
-    (id, sim_lo, sim_hi) frame."""
+    (id, sim_lo, sim_hi) frame. Same r6 execution shape as the 64-bit
+    path: hamming verify inside the join stage, dedup only true pairs
+    (see simhash_pairs_from_signatures)."""
+    from .session import ensure_parallelism
+
+    sigs = ensure_parallelism(sigs)
     bands = min(max(max_hamming + 1, 2), 32)
     band_structs = []
     for b in range(bands):
@@ -486,15 +513,16 @@ def simhash128_pairs_from_signatures(sigs: DataFrame, max_hamming: int = 8) -> D
     ).select("id", "sim_lo", "sim_hi", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = banded.select("band", "bucket", F.col("id").alias("src"), F.col("sim_lo").alias("la"), F.col("sim_hi").alias("ha"))
     right = banded.select("band", "bucket", F.col("id").alias("dst"), F.col("sim_lo").alias("lb"), F.col("sim_hi").alias("hb"))
-    cands = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("src") < F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
     hamming = F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) + F.bit_count(
         F.col("ha").bitwiseXOR(F.col("hb"))
     )
-    return cands.select("src", "dst", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 # ---------------------------------------------------- embedding near-dup

@@ -34,7 +34,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # 8192 (r6, guide §4.2): the hot Arrow passes move narrow rows
+        # (id pairs, occurrence tuples, ~1-2 KB chunk text) where
+        # per-batch overhead dominated at 2048; 8192 keeps batches
+        # under ~16 MB for the widest (chunk-text) stage
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # local mode: the driver JVM is the executor — size its heap

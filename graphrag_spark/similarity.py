@@ -37,6 +37,19 @@ def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _fold_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot of two (n, dim) float64 blocks with the SAME
+    floating-point association as the Spark-side ``dot_col`` fold:
+    acc starts at 0.0 and adds the products left to right over the
+    dimension axis (numpy's own dot/einsum use pairwise/BLAS orderings
+    whose low bits differ — this loop is vectorized across rows but
+    sequential across dims, reproducing the fold bit for bit)."""
+    acc = np.zeros(len(A), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return acc
+
+
 def norm_col(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -145,9 +158,13 @@ def pairwise_topk_blocked(
     to 6 digits (desc), tie-break dst ascending; ``threshold`` is
     applied AFTER ranking (reference T5 semantics).
     """
+    from .session import ensure_parallelism
+
     n = embeddings.count()
     nb = n_blocks or max(1, -(-n // block_rows))
-    df = embeddings.select(
+    # a single-file embeddings scan is one partition; the block-pair
+    # explode (xnb fan-out) and its shuffle write would serialize there
+    df = ensure_parallelism(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(nb)).cast("int").alias("_blk"),
@@ -293,6 +310,54 @@ def lsh_candidate_pairs(
     )
 
 
+def _fits_broadcast(df: DataFrame) -> bool:
+    """True when the optimizer's size estimate for ``df`` is within the
+    session's auto-broadcast threshold — the scale-adaptive guard for
+    explicit broadcast hints on frames that are small at bench scale
+    but unbounded in general (a hint on a genuinely large frame would
+    OOM executors; without one the planner falls back to shuffle
+    joins)."""
+    try:
+        thr = int(df.sparkSession._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold())
+        if thr <= 0:
+            return False
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        return size <= thr
+    except Exception:
+        return False
+
+
+# Broadcast-matrix cache for the numpy verify path, keyed by the
+# embedding table's input files (same serving pattern as the fulltext
+# _meta cache: the INPUT-side index is built once per process and
+# reused across verify calls; query results are never cached). A
+# rewritten table gets new part-file names, so stale hits cannot occur;
+# frames without a stable file listing (in-memory, post-shuffle) skip
+# the cache and rebuild per call.
+_MATRIX_BCAST_CACHE: dict[tuple, object] = {}
+
+
+def _matrix_broadcast(embeddings: DataFrame, id_col: str, vec_col: str):
+    try:
+        files = tuple(sorted(embeddings.inputFiles()))
+    except Exception:
+        files = ()
+    key = (files, id_col, vec_col) if files else None
+    if key is not None and key in _MATRIX_BCAST_CACHE:
+        return _MATRIX_BCAST_CACHE[key]
+    # Arrow driver transfer (guide §6): collect() row-boxes every
+    # vector element; toPandas lands numpy blocks directly
+    pdf_e = embeddings.select(id_col, vec_col).toPandas()
+    ids = pdf_e[id_col].to_numpy()
+    M = np.stack(pdf_e[vec_col].to_numpy()).astype(np.float64)
+    nrm = np.sqrt(_fold_dot(M, M))  # same fold as norm_col, once per row
+    order = np.argsort(ids, kind="stable")
+    bv = embeddings.sparkSession.sparkContext.broadcast((ids[order], M[order], nrm[order]))
+    if key is not None:
+        _MATRIX_BCAST_CACHE[key] = bv
+    return bv
+
+
 def verify_candidates_cosine(
     candidates: DataFrame,
     embeddings: DataFrame,
@@ -302,12 +367,70 @@ def verify_candidates_cosine(
 ) -> DataFrame:
     """Exact-cosine verification of (src, dst) candidate pairs: joins
     each side's vector once onto the deduplicated candidates (native
-    zip_with scoring, no Python), filters at the threshold."""
-    e = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    zip_with scoring, no Python), filters at the threshold.
+
+    r6 execution shape (guide §3.1, §2.3, §4.2): the candidate set is
+    the BIG side (quadratic in hot buckets) and must be the streamed
+    side. When the embeddings frame is provably small
+    (``_fits_broadcast``), the pairs are scored in one Arrow pass
+    against a broadcast numpy matrix — only (src, dst) ids cross the
+    Python boundary, the gather + multiply-accumulate runs vectorized
+    per batch, and the arithmetic reproduces the Spark fold bit for bit
+    (``_fold_dot``; the final round happens Spark-side so rounding
+    semantics are literally the same expression). Past the broadcast
+    cap it falls back to the shuffle-join + native zip_with scoring —
+    the unbounded-scale shape. ``ensure_parallelism`` keeps the
+    candidate scan wide when it was read back from a few compacted
+    files."""
+    from .session import ensure_parallelism
+
+    candidates = ensure_parallelism(candidates).select("src", "dst")
+    v = F.col(vec_col).cast("array<double>")
+    e = embeddings.select(F.col(id_col), v.alias("v"), norm_col(v).alias("n"))
+    if _fits_broadcast(e):
+        bv = _matrix_broadcast(embeddings, id_col, vec_col)
+        out_schema = T.StructType(
+            [
+                candidates.schema["src"],
+                candidates.schema["dst"],
+                T.StructField("_raw_sim", T.DoubleType()),
+            ]
+        )
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sids, mat, nr = bv.value
+
+            def locate(col: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+                q = col.to_numpy()
+                pos = np.searchsorted(sids, q)
+                pos_c = np.minimum(pos, len(sids) - 1)
+                ok = sids[pos_c] == q
+                return pos_c, ok
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"src": [], "dst": [], "_raw_sim": []})
+                    continue
+                ia, oka = locate(pdf["src"])
+                ib, okb = locate(pdf["dst"])
+                keep = oka & okb  # inner-join semantics: unknown ids drop
+                ia, ib = ia[keep], ib[keep]
+                raw = _fold_dot(mat[ia], mat[ib]) / (nr[ia] * nr[ib])
+                yield pd.DataFrame(
+                    {"src": pdf["src"].to_numpy()[keep], "dst": pdf["dst"].to_numpy()[keep], "_raw_sim": raw}
+                )
+
+        scored = candidates.mapInPandas(score, schema=out_schema)
+        return scored.select(
+            "src", "dst", F.round(F.col("_raw_sim"), 6).alias("similarity")
+        ).filter(F.col("similarity") >= threshold)
+    e_src = e.select(F.col(id_col).alias("src"), F.col("v").alias("va"), F.col("n").alias("na"))
+    e_dst = e.select(F.col(id_col).alias("dst"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    sim = F.round(dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        candidates.join(e.withColumnRenamed(id_col, "src").withColumnRenamed("v", "va"), "src")
-        .join(e.withColumnRenamed(id_col, "dst").withColumnRenamed("v", "vb"), "dst")
-        .select("src", "dst", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("similarity"))
+        candidates.join(e_src, "src")
+        .join(e_dst, "dst")
+        .select("src", "dst", sim.alias("similarity"))
         .filter(F.col("similarity") >= threshold)
     )
 
