@@ -80,8 +80,20 @@ def run_in_memory(
         embed_chunks(chunks_base).select("chunk_id", "embedding"), "chunk_id"
     )
     fmt = getattr(extractor, "output_format", "occurrences") if extractor else "occurrences"
+    # The extraction cache is persisted ALREADY HASH-PARTITIONED BY
+    # chunk_id (r6, guide §2.4 "remove shuffles outright"): every hot
+    # consumer clusters on a chunk_id-prefixed key — the per-chunk
+    # entity dedup groupBys, the quadratic rels self-join (equi-join on
+    # chunk_id: co-partitioned cache sides merge with NO exchange), the
+    # per-chunk pair-count aggregation that feeds triples, and the
+    # mentions-sink distinct. One up-front exchange of the occurrence
+    # rows at cache time replaces one exchange per consumer over the
+    # 4x-larger expanded frames (InMemoryRelation preserves the cached
+    # plan's output partitioning, verified in plans/r06).
     if fmt == "occurrences":
-        occ = (extractor or extraction.extract_occurrences)(chunks_base).persist()
+        occ = (extractor or extraction.extract_occurrences)(chunks_base).repartition(
+            "chunk_id"
+        ).persist()
         mentions_raw = extraction.entities_from_occurrences(occ)
         rels_raw = extraction.rels_from_occurrences(occ)
         extracted = mentions_raw.unionByName(rels_raw)
@@ -89,7 +101,7 @@ def run_in_memory(
         # mentions_raw but skips re-running its groupBy
         smap = normalize.materialize_surface_map(occ)
     else:
-        occ = extractor(chunks_base).persist()
+        occ = extractor(chunks_base).repartition("chunk_id").persist()
         mentions_raw = occ.filter(F.col("kind") == "entity")
         rels_raw = occ.filter(F.col("kind") == "rel")
         extracted = occ
