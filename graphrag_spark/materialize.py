@@ -238,6 +238,60 @@ def build_triples_fused(rels_raw: DataFrame, s2c: DataFrame, broadcast_map: bool
     return _pair_group(resolved)
 
 
+def build_triples_from_occurrences(occ: DataFrame, s2c: DataFrame, broadcast_map: bool = True) -> DataFrame:
+    """``build_triples_fused(rels_from_occurrences(occ), s2c)`` with the
+    surface->canonical resolution pushed BELOW the quadratic pair
+    expansion (r6, guide §2.3 "shuffle keys instead of payloads").
+
+    Shape: the vocabulary-bounded s2c map gains a dense int surface id
+    and broadcast-joins the O(corpus) occurrence rows ONCE (inner join —
+    occurrences whose surface has no surviving canonical drop here,
+    which removes exactly the pairs the fused path's endpoint inner
+    joins would have dropped, and cannot change counts between
+    surviving surfaces since per-chunk pairs are independent). The
+    expansion then carries (chunk_id, pos, sid, canon); the per-chunk
+    pair-count aggregation keys on ints instead of three strings; the
+    two endpoint joins over the 30M-row grouped frame disappear
+    entirely. first(canon) per (sid) group is deterministic: canon is
+    functionally dependent on sid. Equivalence with the unfused
+    composition is pytest-asserted (tests/test_pipeline_pr.py).
+
+    Falls back to the unfused path when the map exceeded the driver-
+    materialization cap (open-vocabulary extractor): a shuffle join is
+    cheaper over the grouped frame than over raw occurrences there."""
+    from .extraction import _STRENGTHS, REL_DESCRIPTION, REL_WINDOW, rels_from_occurrences
+
+    if not getattr(s2c, "_graphrag_materialized", True):
+        return build_triples_fused(rels_from_occurrences(occ), s2c, broadcast_map=False)
+    spark = occ.sparkSession
+    # s2c is a driver-built LocalRelation: collect() is driver-only
+    sid_rows = [(r["surface"], i, r["canonical_name"]) for i, r in enumerate(s2c.collect())]
+    if not sid_rows:
+        return build_triples_fused(rels_from_occurrences(occ), s2c, broadcast_map=broadcast_map)
+    m = spark.createDataFrame(sid_rows, "name string, sid int, canon string")
+    o = occ.join(F.broadcast(m), "name").select("chunk_id", "pos", "sid", "canon")
+    o1 = o.select(
+        "chunk_id", F.col("pos").alias("p1"), F.col("sid").alias("sid1"), F.col("canon").alias("c1")
+    )
+    o2 = o.select("chunk_id", F.col("pos").alias("p2"), F.col("sid").alias("sid2"), F.col("canon").alias("c2"))
+    pairs = o1.join(o2, "chunk_id").filter(
+        (F.col("p2") > F.col("p1"))
+        & (F.col("p2") - F.col("p1") <= REL_WINDOW)
+        & (F.col("sid1") != F.col("sid2"))
+    )
+    strength = F.element_at(
+        F.array(*[F.lit(s) for s in _STRENGTHS]),
+        F.least(F.count("*"), F.lit(5)).cast("int"),
+    )
+    resolved = (
+        pairs.groupBy("chunk_id", "sid1", "sid2")
+        .agg(F.first("c1").alias("subj"), F.first("c2").alias("obj"), strength.alias("strength"))
+        .filter(F.col("subj") != F.col("obj"))
+        .select("subj", "obj", "strength", F.lit(REL_DESCRIPTION).alias("description"), "chunk_id")
+    )
+    return _pair_group(resolved)
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -121,12 +121,14 @@ def run_in_memory(
     ).persist()
     cmap = materialize.canonical_map(entities).persist()
     if fmt == "occurrences":
-        # triples resolve straight from raw rels via the pre-composed
-        # surface->canonical map: 2 broadcast joins over the O(corpus)
-        # pair frame instead of 4 (r3 VERDICT item 2); rels_norm stays
+        # triples resolve straight from raw OCCURRENCES via the
+        # pre-composed surface->canonical map (r6): resolution is
+        # broadcast-joined once below the quadratic pair expansion, the
+        # pair-count aggregation keys on dense int surface ids, and no
+        # join touches the grouped pair frame at all; rels_norm stays
         # available lazily for consumers of the normalized view
         s2c = materialize.surface_to_canonical_map(smap, cmap)
-        triples = materialize.build_triples_fused(rels_raw, s2c)
+        triples = materialize.build_triples_from_occurrences(occ, s2c)
     else:
         triples = materialize.build_triples(rels_norm, cmap)
     return {
@@ -365,8 +367,8 @@ class KGPipeline:
         # normalize_rels path instead: their rel targets need not be a
         # subset of the mention surface map (see run_in_memory).
         if fmt == "occurrences":
-            build_triples = lambda: materialize.build_triples_fused(  # noqa: E731
-                rels_raw, materialize.surface_to_canonical_map(smap, cmap), broadcast_map=bc_map
+            build_triples = lambda: materialize.build_triples_from_occurrences(  # noqa: E731
+                extracted, materialize.surface_to_canonical_map(smap, cmap), broadcast_map=bc_map
             )
         else:
             build_triples = lambda: materialize.build_triples(  # noqa: E731

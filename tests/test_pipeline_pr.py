@@ -225,6 +225,46 @@ def test_fused_triples_equivalent(spark, corpus_path):
     assert fused == legacy
 
 
+def test_occurrence_fused_triples_equivalent(spark, corpus_path):
+    """r6: build_triples_from_occurrences (resolution below the pair
+    expansion, int-keyed pair counts) must be row-identical on every
+    column to the composition it replaces
+    (rels_from_occurrences -> build_triples_fused)."""
+    from graphrag_spark import chunking, extraction, linking, materialize, normalize
+    from graphrag_spark.pipeline import document_text
+
+    docs = spark.read.parquet(corpus_path)
+    chunks = chunking.with_quality(chunking.chunk_documents(document_text(docs)))
+    occ = extraction.extract_occurrences(chunks).persist()
+    smap = normalize.materialize_surface_map(occ)
+    mentions_norm = normalize.normalize_mentions(
+        extraction.entities_from_occurrences(occ), smap
+    )
+    entities = linking.link_entities(
+        linking.dedup_entities(mentions_norm), linking.alias_dictionary(spark)
+    )
+    cmap = materialize.canonical_map(entities)
+    s2c = materialize.surface_to_canonical_map(smap, cmap)
+
+    def key(r):
+        return (
+            r["subj"], r["pred"], r["obj"], r["strength"],
+            tuple(r["source_chunks"]), r["n_observations"],
+        )
+
+    a = sorted(map(key, materialize.build_triples_from_occurrences(occ, s2c).collect()))
+    b = sorted(
+        map(
+            key,
+            materialize.build_triples_fused(
+                extraction.rels_from_occurrences(occ), s2c
+            ).collect(),
+        )
+    )
+    occ.unpersist()
+    assert a and a == b
+
+
 def test_surface_map_cap_fallback(spark, corpus_path, monkeypatch):
     """r3 VERDICT item 5: past the materialization cap the pipeline
     degrades to shuffle joins (flagged, warned) instead of aborting —
