@@ -269,11 +269,14 @@ def build_triples_from_occurrences(occ: DataFrame, s2c: DataFrame, broadcast_map
     if not sid_rows:
         return build_triples_fused(rels_from_occurrences(occ), s2c, broadcast_map=broadcast_map)
     m = spark.createDataFrame(sid_rows, "name string, sid int, canon string")
-    o = occ.join(F.broadcast(m), "name").select("chunk_id", "pos", "sid", "canon")
-    o1 = o.select(
-        "chunk_id", F.col("pos").alias("p1"), F.col("sid").alias("sid1"), F.col("canon").alias("c1")
-    )
-    o2 = o.select("chunk_id", F.col("pos").alias("p2"), F.col("sid").alias("sid2"), F.col("canon").alias("c2"))
+    # the expansion carries only (chunk_id, pos, sid): canon strings
+    # re-attach on the GROUPED frame via int-keyed broadcast probes —
+    # aggregating them (first(canon)) would put a string in the agg
+    # buffer and demote the whole pair-count aggregation from
+    # HashAggregate to SortAggregate over the full expansion
+    o = occ.join(F.broadcast(m), "name").select("chunk_id", "pos", "sid")
+    o1 = o.select("chunk_id", F.col("pos").alias("p1"), F.col("sid").alias("sid1"))
+    o2 = o.select("chunk_id", F.col("pos").alias("p2"), F.col("sid").alias("sid2"))
     pairs = o1.join(o2, "chunk_id").filter(
         (F.col("p2") > F.col("p1"))
         & (F.col("p2") - F.col("p1") <= REL_WINDOW)
@@ -285,7 +288,9 @@ def build_triples_from_occurrences(occ: DataFrame, s2c: DataFrame, broadcast_map
     )
     resolved = (
         pairs.groupBy("chunk_id", "sid1", "sid2")
-        .agg(F.first("c1").alias("subj"), F.first("c2").alias("obj"), strength.alias("strength"))
+        .agg(strength.alias("strength"))
+        .join(F.broadcast(m.select(F.col("sid").alias("sid1"), F.col("canon").alias("subj"))), "sid1")
+        .join(F.broadcast(m.select(F.col("sid").alias("sid2"), F.col("canon").alias("obj"))), "sid2")
         .filter(F.col("subj") != F.col("obj"))
         .select("subj", "obj", "strength", F.lit(REL_DESCRIPTION).alias("description"), "chunk_id")
     )
