@@ -284,7 +284,12 @@ def _q_quality_bands(spark, sf_dir):
 
 
 def _q_token_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from graphrag_spark.session import ensure_parallelism
+
+    # single-file documents scan = one partition; the regex token
+    # counting is CPU-bound, and the integer sums are partitioning-
+    # independent (r6)
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return (
         d.groupBy("lang")
         .agg(
@@ -296,7 +301,9 @@ def _q_token_counts(spark, sf_dir):
 
 
 def _q_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    from graphrag_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return (
         d.select(textstats.lang_id(F.col("text")).alias("lang_detected"))
         .groupBy("lang_detected")
@@ -408,8 +415,11 @@ def _q_cosine_topk(spark, sf_dir):
 
 def _q_knn_edges(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    # distributed block-pair exact kNN — no single-task global matrix
-    pairs = similarity.pairwise_topk_blocked(e, k=3, threshold=0.2, block_rows=512)
+    # distributed block-pair exact kNN — no single-task global matrix;
+    # block size is corpus-adaptive (r6): the old fixed 512 grew the
+    # replicated shuffle linearly with corpus size (results are exact
+    # kNN either way — block choice never changes the merged top-k)
+    pairs = similarity.pairwise_topk_blocked(e, k=3, threshold=0.2)
     return pairs.orderBy("src", F.desc("similarity"), "dst")
 
 

@@ -22,6 +22,12 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # one BLAS thread per Python worker (guide §4): task parallelism
+    # already fills every core; threaded OpenBLAS inside 32 concurrent
+    # workers oversubscribes ~32x on the block-matmul operators. Set
+    # before the JVM starts so forked pyspark workers inherit it.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
     )

@@ -66,11 +66,48 @@ def cosine_topk_query(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Brute-force cosine top-k of a query vector vs the corpus (T1).
-    One narrow scan + a k-row sort; fully codegen'd scoring."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = embeddings.select(
-        F.col(id_col),
-        F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6).alias("similarity"),
+
+    One narrow scan + a k-row TakeOrdered. Scoring runs as a vectorized
+    Arrow pass (r6, guide §4.2): the zip_with/aggregate cosine is
+    evaluated lambda-by-lambda in the interpreter (~25us/row — it
+    dominated every serving request's corpus scan); the numpy pass
+    reproduces the exact fold arithmetic (``_fold_dot``, sequential
+    over dims), rounds SPARK-side with the same F.round expression, and
+    preserves nulls as nulls (a NaN stand-in would sort ABOVE real
+    scores under Spark's NaN-greatest ordering)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    nq_acc = 0.0
+    for x in q:  # norm_col's fold, element by element
+        nq_acc += x * x
+    nq = float(np.sqrt(nq_acc))
+
+    out_schema = T.StructType(
+        [embeddings.schema[id_col], T.StructField("_raw_sim", T.DoubleType())]
+    )
+
+    dim = len(q)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pd.array([None] * len(pdf), dtype="Float64")
+            vecs = pdf[vec_col].to_numpy()
+            # null vectors and dim mismatches both score NULL, exactly
+            # like the zip_with fold (null-padded products -> null dot)
+            mask = np.array([v is not None and len(v) == dim for v in vecs])
+            if mask.any():
+                M = np.stack(vecs[mask]).astype(np.float64)
+                na = np.sqrt(_fold_dot(M, M))
+                acc = np.zeros(len(M), dtype=np.float64)
+                for d in range(M.shape[1]):
+                    acc += M[:, d] * q[d]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw[mask] = acc / (na * nq)
+            yield pd.DataFrame({id_col: pdf[id_col], "_raw_sim": raw})
+
+    scored = (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(score, schema=out_schema)
+        .select(F.col(id_col), F.round(F.col("_raw_sim"), 6).alias("similarity"))
     )
     return scored.orderBy(F.desc("similarity"), F.col(id_col)).limit(k)
 
@@ -139,7 +176,7 @@ def pairwise_topk_blocked(
     threshold: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_rows: int = 2048,
+    block_rows: int | None = None,
     n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact global kNN edges, distributed: block-pair decomposition.
@@ -161,6 +198,14 @@ def pairwise_topk_blocked(
     from .session import ensure_parallelism
 
     n = embeddings.count()
+    if block_rows is None:
+        # small blocks balance the block-pair tasks (measured: 512-row
+        # blocks beat 2048 by ~1.5x at 20k vectors — O(block^2) sims
+        # materialization and stragglers dominate long before the
+        # O(n*nb) replicated shuffle does); the 2048 cap on nb growth
+        # keeps the shuffle bounded once the corpus is large enough
+        # that replication would, and 512 floors the tiny-corpus case.
+        block_rows = min(2048, max(512, -(-n // 64)))
     nb = n_blocks or max(1, -(-n // block_rows))
     # a single-file embeddings scan is one partition; the block-pair
     # explode (xnb fan-out) and its shuffle write would serialize there
@@ -200,16 +245,23 @@ def pairwise_topk_blocked(
         unit = mat / norms[:, None]
         ids = pdf[id_col].to_numpy()
         blk = pdf["_blk"].to_numpy()
-        rows = []
+        srcs, dsts, vals = [], [], []
 
         def emit(src_idx: np.ndarray, dst_idx: np.ndarray, sims: np.ndarray) -> None:
-            # sims: (len(src_idx), len(dst_idx)), rounded; dsts id-sorted
+            # sims: (len(src_idx), len(dst_idx)), rounded; dsts id-sorted.
+            # bulk top-kk per row: stable argsort matches the old per-row
+            # selection (ids ascending on rounded ties) exactly
             kk = min(k, sims.shape[1])
-            for r in range(sims.shape[0]):
-                order = np.argsort(-sims[r], kind="stable")[:kk]
-                for c in order:
-                    if np.isfinite(sims[r, c]):
-                        rows.append((ids[src_idx[r]], ids[dst_idx[c]], float(sims[r, c])))
+            if kk == 0 or sims.shape[0] == 0:
+                return
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            top = np.take_along_axis(sims, order, axis=1)
+            keep = np.isfinite(top).ravel()
+            r_idx = np.repeat(np.arange(sims.shape[0]), kk)[keep]
+            c_idx = order.ravel()[keep]
+            srcs.append(ids[src_idx[r_idx]])
+            dsts.append(ids[dst_idx[c_idx]])
+            vals.append(top.ravel()[keep])
 
         if gi == gj:
             sims = np.round(unit @ unit.T, 6)
@@ -222,8 +274,16 @@ def pairwise_topk_blocked(
             if len(ai) and len(bi):
                 cross = np.round(unit[ai] @ unit[bi].T, 6)
                 emit(ai, bi, cross)
-                emit(bi, ai, cross.T)
-        return pd.DataFrame(rows, columns=["src", "dst", "similarity"])
+                emit(bi, ai, np.ascontiguousarray(cross.T))
+        if not srcs:
+            return pd.DataFrame({"src": [], "dst": [], "similarity": []})
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "similarity": np.concatenate(vals),
+            }
+        )
 
     partial = rep.groupBy("_gi", "_gj").applyInPandas(pair_knn, schema=out_schema)
     w = Window.partitionBy("src").orderBy(F.desc("similarity"), F.col("dst"))
