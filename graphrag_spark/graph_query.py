@@ -63,6 +63,47 @@ def neighborhood(triples: DataFrame, entity_name: str, hops: int = 1) -> DataFra
     )
 
 
+# Driver beam fast path (see beam_search_paths): adjacency + importance
+# maps collected once per (triples, nodes) table pair and cached by
+# input files — the same serving-index pattern as the fulltext _meta and
+# IVF matrix caches (INPUT-side state, never query results). Frames
+# without a stable file listing rebuild per call (tests, ad-hoc frames).
+_DRIVER_BEAM_CACHE: dict[tuple, object] = {}
+_DRIVER_BEAM_MAX_ROWS = 200_000
+
+
+def _driver_beam_data(triples: DataFrame, nodes: DataFrame):
+    """(adjacency dict, importance dict) when both frames fit the
+    driver cap, else None (distributed hop loop). LIMIT-guarded: at
+    most cap+1 rows are ever collected."""
+    try:
+        tf = tuple(sorted(triples.inputFiles()))
+        nf = tuple(sorted(nodes.inputFiles()))
+    except Exception:
+        tf = nf = ()
+    key = (tf, nf) if tf and nf else None
+    if key is not None and key in _DRIVER_BEAM_CACHE:
+        return _DRIVER_BEAM_CACHE[key]
+    has_sc = "source_chunks" in triples.columns
+    cols = ["subj", "obj", "strength"] + (["source_chunks"] if has_sc else [])
+    erows = triples.select(*cols).limit(_DRIVER_BEAM_MAX_ROWS + 1).collect()
+    data = None
+    if len(erows) <= _DRIVER_BEAM_MAX_ROWS:
+        nrows = (
+            nodes.select("name", "importance").limit(_DRIVER_BEAM_MAX_ROWS + 1).collect()
+        )
+        if len(nrows) <= _DRIVER_BEAM_MAX_ROWS:
+            adj: dict[str, list] = {}
+            for r in erows:
+                sc = list(r["source_chunks"]) if has_sc else []
+                adj.setdefault(r["subj"], []).append((r["obj"], r["strength"], sc))
+                adj.setdefault(r["obj"], []).append((r["subj"], r["strength"], sc))
+            data = (adj, {r["name"]: r["importance"] for r in nrows})
+    if key is not None:
+        _DRIVER_BEAM_CACHE[key] = data
+    return data
+
+
 def beam_search_paths(
     triples: DataFrame,
     nodes: DataFrame,
@@ -87,8 +128,45 @@ def beam_search_paths(
     surviving <=beam_size rows are collected per hop so the next hop
     joins a literal frame and the final result is literal — one
     bounded job per hop, no checkpoint lineage, no union-of-
-    checkpoints job at consumption."""
+    checkpoints job at consumption.
+
+    Driver fast path (r6, the canonicalize.py union-find pattern): when
+    the edge and node frames are LIMIT-guarded small, the hop loop runs
+    in pure Python over a cached driver adjacency — zero jobs per
+    request instead of one per hop plus two broadcast builds. The
+    arithmetic is the identical IEEE expression (0.5*ps + 0.3*st +
+    0.2*imp, left-associated), the per-hop ordering key is the same
+    (desc score, tail, '>'-joined path; UTF-8 byte order and code-point
+    order agree), and the final round/sort_array still run as the SAME
+    Spark expressions over the literal result — so rows are
+    bit-identical to the distributed loop (oracled by kg_beam_paths)."""
     spark = triples.sparkSession
+    driver_data = _driver_beam_data(triples, nodes)
+    if driver_data is not None:
+        adj, impmap = driver_data
+        beam_rows = [(s, [s], 1.0, []) for s in dict.fromkeys(seeds)]
+        out_rows = list(beam_rows)
+        for _hop in range(max_hops):
+            expanded = []
+            for tail, path, ps, sup in beam_rows:
+                for dst, st, sc in adj.get(tail, ()):
+                    if st < min_edge_strength or dst in path:
+                        continue
+                    imp = impmap.get(dst)
+                    imp = 0.0 if imp is None else imp
+                    score = 0.5 * ps + 0.3 * st + 0.2 * imp
+                    nsup = list(dict.fromkeys(sup + sc)) if with_support else sup
+                    expanded.append((dst, path + [dst], score, nsup))
+            expanded.sort(key=lambda r: (-r[2], r[0], ">".join(r[1])))
+            beam_rows = expanded[:beam_size]
+            out_rows.extend(beam_rows)
+        out = spark.createDataFrame(
+            out_rows, "tail string, path array<string>, path_score double, support array<string>"
+        )
+        cols = ["path", F.round("path_score", 6).alias("path_score")]
+        if with_support:
+            cols.append(F.sort_array("support").alias("support"))
+        return out.select(*cols)
     if with_support:
         sc = triples.select(
             F.col("subj").alias("src"), F.col("obj").alias("dst"), "strength", "source_chunks"

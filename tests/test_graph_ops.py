@@ -96,6 +96,35 @@ def test_beam_search(kg):
         assert len(r["path"]) <= 3
 
 
+def test_beam_driver_fast_path_equals_distributed(kg, monkeypatch):
+    """r6: the driver-adjacency beam fast path must be row-identical
+    (paths, rounded scores, sorted support) to the distributed hop loop
+    it short-circuits."""
+    from graphrag_spark import graph_query
+
+    seeds = sorted(r["subj"] for r in kg["triples"].select("subj").distinct().limit(3).collect())
+
+    def rows(df):
+        return sorted(
+            (tuple(r["path"]), r["path_score"], tuple(r["support"])) for r in df.collect()
+        )
+
+    fast = rows(
+        graph_query.beam_search_paths(
+            kg["triples"], kg["nodes"], seeds, max_hops=2, beam_size=5, with_support=True
+        )
+    )
+    monkeypatch.setattr(graph_query, "_DRIVER_BEAM_MAX_ROWS", 0)
+    graph_query._DRIVER_BEAM_CACHE.clear()
+    slow = rows(
+        graph_query.beam_search_paths(
+            kg["triples"], kg["nodes"], seeds, max_hops=2, beam_size=5, with_support=True
+        )
+    )
+    graph_query._DRIVER_BEAM_CACHE.clear()
+    assert fast and fast == slow
+
+
 def test_fulltext_search(kg):
     # pick a word we know exists
     word = "partnership"
