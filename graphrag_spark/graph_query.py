@@ -72,36 +72,65 @@ _DRIVER_BEAM_CACHE: dict[tuple, object] = {}
 _DRIVER_BEAM_MAX_ROWS = 200_000
 
 
-def _driver_beam_data(triples: DataFrame, nodes: DataFrame):
-    """(adjacency dict, importance dict) when both frames fit the
-    driver cap, else None (distributed hop loop). LIMIT-guarded: at
-    most cap+1 rows are ever collected."""
+def _driver_cached(df: DataFrame, tag: str, build):
+    """Build-and-cache driver state keyed by a frame's input files (no
+    stable listing -> uncached rebuild per call, e.g. test frames)."""
     try:
-        tf = tuple(sorted(triples.inputFiles()))
-        nf = tuple(sorted(nodes.inputFiles()))
+        files = tuple(sorted(df.inputFiles()))
     except Exception:
-        tf = nf = ()
-    key = (tf, nf) if tf and nf else None
+        files = ()
+    key = (tag, files) if files else None
     if key is not None and key in _DRIVER_BEAM_CACHE:
         return _DRIVER_BEAM_CACHE[key]
-    has_sc = "source_chunks" in triples.columns
-    cols = ["subj", "obj", "strength"] + (["source_chunks"] if has_sc else [])
-    erows = triples.select(*cols).limit(_DRIVER_BEAM_MAX_ROWS + 1).collect()
-    data = None
-    if len(erows) <= _DRIVER_BEAM_MAX_ROWS:
-        nrows = (
-            nodes.select("name", "importance").limit(_DRIVER_BEAM_MAX_ROWS + 1).collect()
-        )
-        if len(nrows) <= _DRIVER_BEAM_MAX_ROWS:
-            adj: dict[str, list] = {}
-            for r in erows:
-                sc = list(r["source_chunks"]) if has_sc else []
-                adj.setdefault(r["subj"], []).append((r["obj"], r["strength"], sc))
-                adj.setdefault(r["obj"], []).append((r["subj"], r["strength"], sc))
-            data = (adj, {r["name"]: r["importance"] for r in nrows})
+    data = build()
     if key is not None:
         _DRIVER_BEAM_CACHE[key] = data
     return data
+
+
+def _driver_graph_adjacency(triples: DataFrame):
+    """Undirected adjacency dict {src: [(dst, strength, source_chunks)]}
+    when the triples frame fits the driver cap, else None. The collect
+    is LIMIT-guarded: at most cap+1 rows ever reach the driver."""
+
+    def build():
+        has_sc = "source_chunks" in triples.columns
+        cols = ["subj", "obj", "strength"] + (["source_chunks"] if has_sc else [])
+        rows = triples.select(*cols).limit(_DRIVER_BEAM_MAX_ROWS + 1).collect()
+        if len(rows) > _DRIVER_BEAM_MAX_ROWS:
+            return None
+        adj: dict[str, list] = {}
+        for r in rows:
+            sc = list(r["source_chunks"]) if has_sc else []
+            adj.setdefault(r["subj"], []).append((r["obj"], r["strength"], sc))
+            adj.setdefault(r["obj"], []).append((r["subj"], r["strength"], sc))
+        return adj
+
+    return _driver_cached(triples, "adj", build)
+
+
+def _driver_importance(nodes: DataFrame):
+    """{name: importance} when the nodes frame fits the cap, else None."""
+
+    def build():
+        rows = nodes.select("name", "importance").limit(_DRIVER_BEAM_MAX_ROWS + 1).collect()
+        if len(rows) > _DRIVER_BEAM_MAX_ROWS:
+            return None
+        return {r["name"]: r["importance"] for r in rows}
+
+    return _driver_cached(nodes, "imp", build)
+
+
+def _driver_beam_data(triples: DataFrame, nodes: DataFrame):
+    """(adjacency dict, importance dict) when both frames fit the
+    driver cap, else None (distributed hop loop)."""
+    adj = _driver_graph_adjacency(triples)
+    if adj is None:
+        return None
+    imp = _driver_importance(nodes)
+    if imp is None:
+        return None
+    return (adj, imp)
 
 
 def beam_search_paths(
@@ -692,6 +721,45 @@ def expand_with_strength_decay(
     spark = triples.sparkSession
     if adjacency is not None:
         _validate_adjacency_cap(adjacency, max_entity_connections)
+    # Driver fast path (r6): with the cached LIMIT-guarded adjacency
+    # (shared with beam_search_paths) the whole expansion is pure
+    # Python and the result a literal frame — zero jobs per call. The
+    # per-hop neighbor selection reproduces the window exactly (rank
+    # over (strength desc, dst asc) BEFORE the threshold filter); the
+    # score bookkeeping below is the same code either way, and the
+    # final round/order/limit stay Spark expressions — bit-identical
+    # (kg_decay_expansion oracle + fast==distributed pytest).
+    adjd = _driver_graph_adjacency(triples)
+    if adjd is not None:
+        scores = {s: 1.0 for s in dict.fromkeys(seeds)}
+        frontier = dict(scores)
+        for d in range(max_depth):
+            top_frontier = sorted(frontier.items(), key=lambda kv: (-kv[1], kv[0]))
+            decay = 0.7 ** (d + 1)
+            cand: dict[str, float] = {}
+            for src, _ in top_frontier[:max_entity_connections]:
+                ranked = sorted(adjd.get(src, ()), key=lambda e: (-e[1], e[0]))
+                for dst, s, _sc in ranked[:max_entity_connections]:
+                    if s >= threshold and s > cand.get(dst, float("-inf")):
+                        cand[dst] = s
+            new: dict[str, float] = {}
+            for name, s in cand.items():
+                cs = s * decay
+                if name in scores:
+                    scores[name] = max(scores[name], cs)
+                else:
+                    new[name] = cs
+            scores.update(new)
+            frontier = new
+            if len(scores) > 3 * max_entity_connections:
+                break
+        out = spark.createDataFrame(sorted(scores.items()), "name string, score double")
+        return (
+            out.select("name", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), "name")
+            .limit(2 * max_entity_connections)
+        )
+    if adjacency is not None:
         if max_depth == 2:
             # the serving configuration: one lazy plan, zero per-hop
             # driver collects — a consuming action executes the whole
@@ -938,7 +1006,14 @@ def hybrid_retrieval(
             [(s,) for s in seeds], "name string"
         )
     if adjacency is not None:
-        exp = expand_with_strength_decay_lazy(adjacency, seed_frame)
+        if seeds is not None:
+            # seeds already on the driver (path route): the expansion
+            # driver fast path can serve a literal frame — fewer plan
+            # stages in the final action (falls back to the lazy plan
+            # internally past the cap)
+            exp = expand_with_strength_decay(triples, seeds, adjacency=adjacency)
+        else:
+            exp = expand_with_strength_decay_lazy(adjacency, seed_frame)
     else:
         exp = expand_with_strength_decay(triples, seeds) if seeds else None
     if exp is not None:

@@ -527,21 +527,33 @@ def test_decay_expansion_via_adjacency_index(kg):
 
 
 def _expand_both_ways(spark, edges, seeds):
-    """(driver edge-frame loop, lazy adjacency plan) results for the
-    same synthetic graph — the equality harness for the fused
-    expansion's control-flow mapping."""
+    """(driver fast path, lazy adjacency plan) results for the same
+    synthetic graph — the equality harness for the fused expansion's
+    control-flow mapping. The lazy plan and the distributed loop are
+    FORCED (r6: the driver fast path would otherwise serve all
+    variants); the distributed loop is asserted equal inline."""
     triples = spark.createDataFrame(edges, "subj string, obj string, strength double")
     adj = graph_query.build_entity_adjacency(triples, max_connections=20)
     direct = [
         (r["name"], r["score"])
         for r in graph_query.expand_with_strength_decay(triples, seeds).collect()
     ]
-    lazy = [
-        (r["name"], r["score"])
-        for r in graph_query.expand_with_strength_decay(
-            triples, seeds, adjacency=adj
-        ).collect()
-    ]
+    old = graph_query._DRIVER_BEAM_MAX_ROWS
+    graph_query._DRIVER_BEAM_MAX_ROWS = 0
+    try:
+        lazy = [
+            (r["name"], r["score"])
+            for r in graph_query.expand_with_strength_decay(
+                triples, seeds, adjacency=adj
+            ).collect()
+        ]
+        loop = [
+            (r["name"], r["score"])
+            for r in graph_query.expand_with_strength_decay(triples, seeds).collect()
+        ]
+    finally:
+        graph_query._DRIVER_BEAM_MAX_ROWS = old
+    assert loop == direct
     return direct, lazy
 
 
@@ -578,6 +590,25 @@ def test_lazy_expansion_second_hop_and_trim(spark):
     assert len(lazy) == 40
     assert ("s1", 1.0) in lazy
     assert ("m00", round(0.9 * 0.49, 6)) in lazy
+
+
+def test_decay_driver_fast_path_equals_distributed(kg, monkeypatch):
+    """r6: the cached-driver-adjacency expansion must equal the
+    distributed edge-frame loop row for row on the kg corpus."""
+    triples = kg["triples"]
+    seeds = [r["subj"] for r in triples.orderBy(F.desc("strength"), "subj").limit(3).collect()]
+    fast = [
+        (r["name"], r["score"])
+        for r in graph_query.expand_with_strength_decay(triples, seeds, max_depth=2).collect()
+    ]
+    monkeypatch.setattr(graph_query, "_DRIVER_BEAM_MAX_ROWS", 0)
+    graph_query._DRIVER_BEAM_CACHE.clear()
+    slow = [
+        (r["name"], r["score"])
+        for r in graph_query.expand_with_strength_decay(triples, seeds, max_depth=2).collect()
+    ]
+    graph_query._DRIVER_BEAM_CACHE.clear()
+    assert fast and fast == slow
 
 
 def test_adjacency_cap_validated(kg):
