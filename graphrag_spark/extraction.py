@@ -400,20 +400,20 @@ def extract_occurrences(chunks_df: DataFrame) -> DataFrame:
 
 def entities_from_occurrences(occ: DataFrame) -> DataFrame:
     """Occurrence rows -> per-chunk entity rows (first mention wins —
-    identical to det_extract_structured's seen-set)."""
-    return (
-        occ.groupBy("chunk_id", "name")
-        .agg(
-            F.first("doc_id").alias("doc_id"),
-            F.first("type_or_target").alias("type_or_target"),
-            F.first("score").alias("score"),
-            F.first("description").alias("description"),
-        )
-        .select(
-            "chunk_id", "doc_id", F.lit("entity").alias("kind"),
-            "name", "type_or_target", "score", "description",
-        )
-    )
+    identical to det_extract_structured's seen-set).
+
+    Execution shape (r6): the occurrence contract makes doc_id a
+    function of chunk_id and (type, score, description) functions of
+    the surface name, so "first value per (chunk, name)" is exactly a
+    DISTINCT over the six columns. The former first()-aggregates put
+    strings in the aggregation buffer, which demoted the whole pass to
+    a SortAggregate over every occurrence row; distinct stays a
+    buffer-free HashAggregate (and was the only ordering under which
+    the unordered first() was deterministic in the first place)."""
+    return occ.select(
+        "chunk_id", "doc_id", F.lit("entity").alias("kind"),
+        "name", "type_or_target", "score", "description",
+    ).distinct()
 
 
 def rels_from_occurrences(occ: DataFrame, window: int = REL_WINDOW) -> DataFrame:

@@ -993,14 +993,21 @@ def hybrid_retrieval(
         .limit(5)
         .select("name")
     )
-    # seeds are collected only when a driver loop needs the literal
-    # list (the beam path side, or edge-frame expansion without an
-    # adjacency index). On the adjacency-served factual route the seed
-    # subtree stays LAZY and the whole request after the retrieval scan
-    # is ONE action: seeding + 2-hop decay expansion + entity side +
-    # 3-way merge all execute inside the consumer's single job.
+    # seeds are collected when a driver loop needs the literal list
+    # (the beam path side, edge-frame expansion without an adjacency
+    # index) — and, r6, whenever the cached driver adjacency can serve
+    # the expansion: one bounded seed-collect job plus a LITERAL
+    # expansion frame beats folding the whole lazy expansion subtree
+    # (its windows/anti-joins add ~5 stages of pure scheduling overhead
+    # per request at serving scale; measured ~1.6s vs ~2.5s per factual
+    # request). Past the driver cap the seed subtree stays LAZY and the
+    # request remains ONE action after the retrieval scan.
     seeds: list[str] | None = None
-    if split["path_count"] > 0 or adjacency is None:
+    if (
+        split["path_count"] > 0
+        or adjacency is None
+        or _driver_graph_adjacency(triples) is not None
+    ):
         seeds = [r["name"] for r in seed_frame.collect()]
         seed_frame = chunks.sparkSession.createDataFrame(
             [(s,) for s in seeds], "name string"
