@@ -85,23 +85,51 @@ def _surface_info() -> dict[str, tuple[str, float]]:
     return {s: (t, p) for (s, t, p) in info.values()}
 
 
+@lru_cache(maxsize=1)
+def _matcher_index() -> dict[str, list[tuple[int, tuple[str, ...], tuple[str, str, float]]]]:
+    """First-normalized-token index over the matcher keys (r6, guide
+    §1.2 "per-task work"): the greedy scan below consults it once per
+    token position, so positions whose token starts no alias (the vast
+    majority) cost ONE dict probe instead of ``max_len`` tuple builds +
+    probes. Candidates are ordered longest-first, preserving the
+    longest-match-wins semantics of the original window loop exactly."""
+    info, _ = _matcher()
+    idx: dict[str, list[tuple[int, tuple[str, ...], tuple[str, str, float]]]] = {}
+    for key, rec in info.items():
+        idx.setdefault(key[0], []).append((len(key), key, rec))
+    for cands in idx.values():
+        cands.sort(key=lambda t: -t[0])
+    return idx
+
+
 def _scan_mentions(chunk_text: str) -> list[tuple[int, str]]:
     """Greedy non-overlapping longest-match scan -> [(char_pos, surface)].
-    Deterministic; linear in token count."""
-    info, max_len = _matcher()
+    Deterministic; linear in token count (first-token-indexed — output
+    asserted identical to the windowed scan it replaced)."""
+    idx = _matcher_index()
     toks = [(m.group(0), m.start()) for m in _TOKEN_RE.finditer(chunk_text)]
     norm = [t[0].strip(_STRIP_CHARS).lower() for t in toks]
     out: list[tuple[int, str]] = []
     i = 0
     n = len(toks)
     while i < n:
+        cands = idx.get(norm[i])
+        if cands is None:
+            i += 1
+            continue
         hit = None
-        for length in range(min(max_len, n - i), 0, -1):
-            key = tuple(norm[i : i + length])
-            if "" in key:
+        for length, key, rec in cands:
+            if length > n - i:
                 continue
-            rec = info.get(key)
-            if rec is not None:
+            if length == 1:
+                hit = (length, rec)
+                break
+            seg = norm[i : i + length]
+            # the original windowed scan skipped any window containing a
+            # fully-stripped ("") token; key tuples never contain ""
+            if "" in seg:
+                continue
+            if tuple(seg) == key:
                 hit = (length, rec)
                 break
         if hit is not None:
@@ -351,10 +379,46 @@ OCCURRENCE_SCHEMA = T.StructType(
     ]
 )
 
+# The narrow occurrence shape of the deterministic pipeline (r6, guide
+# §2.3 "shuffle keys and metadata instead of payloads"): type, score and
+# description are pure functions of the surface name under the det
+# contract, so shipping them per occurrence row multiplied the Arrow
+# crossing, the chunk_id exchange and the cache by the ~50-char payload.
+# They are re-attached AFTER the per-chunk distinct via a broadcast of
+# the vocabulary-bounded payload table (``surface_payload_df``).
+OCCURRENCE_NARROW_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_id", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
 # strength lookup by capped pair count, computed through the exact
 # Python float path of det_extract_structured so Spark-side derivation
 # is bit-identical
 _STRENGTHS = [float(f"{round(min(0.4 + 0.1 * min(c, 5), 0.9), 2):.2f}") for c in range(1, 6)]
+
+
+@lru_cache(maxsize=1)
+def _surface_payload_rows() -> list[tuple[str, str, float, str]]:
+    """(name, type_or_target, score, description) per vocabulary
+    surface, computed through the exact Python expressions the wide
+    occurrence emitter used — attaching these rows reproduces its
+    values bit for bit."""
+    return [
+        (s, t, float(f"{p:.2f}"), f"{s} appears in context as {t.lower()}")
+        for s, (t, p) in sorted(_surface_info().items())
+    ]
+
+
+def surface_payload_df(spark) -> DataFrame:
+    """Broadcastable vocabulary payload table (one row per surface)."""
+    return spark.createDataFrame(
+        _surface_payload_rows(),
+        "name string, type_or_target string, score double, description string",
+    )
 
 
 def extract_occurrences(chunks_df: DataFrame) -> DataFrame:
@@ -364,38 +428,82 @@ def extract_occurrences(chunks_df: DataFrame) -> DataFrame:
     (entities_from_occurrences / rels_from_occurrences), which is
     bit-equivalent to det_extract_structured (tested) but keeps the
     quadratic pair expansion JVM-side with map-side partial
-    aggregation."""
+    aggregation.
+
+    Emits the NARROW occurrence shape (chunk_id, doc_id, pos, name):
+    the per-surface payload columns are functions of ``name`` and are
+    re-attached downstream from ``surface_payload_df`` (r6 — they more
+    than doubled the bytes crossing the Python boundary and every
+    downstream exchange). Custom extractors may still emit the wide
+    OCCURRENCE_SCHEMA; every consumer accepts both shapes."""
     from .session import ensure_parallelism
 
     chunks_df = ensure_parallelism(chunks_df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        surface_info = _surface_info()
         for pdf in batches:
-            c_chunk, c_doc, c_pos, c_name, c_tt, c_score, c_desc = [], [], [], [], [], [], []
+            c_chunk, c_doc, c_pos, c_name = [], [], [], []
             for chunk_id, doc_id, content in zip(pdf["chunk_id"], pdf["doc_id"], pdf["content"]):
                 for pos, surface in _scan_mentions(content or ""):
-                    etype, prior = surface_info[surface]
                     c_chunk.append(chunk_id)
                     c_doc.append(doc_id)
                     c_pos.append(pos)
                     c_name.append(surface)
-                    c_tt.append(etype)
-                    c_score.append(float(f"{prior:.2f}"))
-                    c_desc.append(f"{surface} appears in context as {etype.lower()}")
             yield pd.DataFrame(
                 {
                     "chunk_id": c_chunk,
                     "doc_id": c_doc,
                     "pos": c_pos,
                     "name": c_name,
-                    "type_or_target": c_tt,
-                    "score": c_score,
-                    "description": c_desc,
                 }
             )
 
-    return chunks_df.select("chunk_id", "doc_id", "content").mapInPandas(gen, schema=OCCURRENCE_SCHEMA)
+    return chunks_df.select("chunk_id", "doc_id", "content").mapInPandas(
+        gen, schema=OCCURRENCE_NARROW_SCHEMA
+    )
+
+
+def extract_occurrences_from_docs(
+    doc_text_df: DataFrame, chunk_size: int, overlap: int
+) -> DataFrame:
+    """(doc_id, content) documents -> narrow occurrence rows with
+    chunking and mention scanning FUSED into one Python pass (r6, guide
+    §4.1): the chained ``chunk_documents -> extract_occurrences``
+    composition ships every chunk's text Python->JVM->Python across two
+    MapInPandas nodes; here the chunk text never leaves the worker that
+    split it. Chunk ids/offsets reproduce ``chunk_documents`` exactly
+    (same ``split_with_offsets`` call, same ``{doc}_chunk_{i}`` ids), so
+    the occurrence rows are identical (pytest-asserted)."""
+    from .chunking import split_with_offsets
+    from .session import ensure_parallelism
+
+    doc_text_df = ensure_parallelism(doc_text_df)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_chunk, c_doc, c_pos, c_name = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for i, (chunk, _off) in enumerate(
+                    split_with_offsets(content or "", chunk_size, overlap)
+                ):
+                    chunk_id = f"{doc_id}_chunk_{i}"
+                    for pos, surface in _scan_mentions(chunk):
+                        c_chunk.append(chunk_id)
+                        c_doc.append(doc_id)
+                        c_pos.append(pos)
+                        c_name.append(surface)
+            yield pd.DataFrame(
+                {
+                    "chunk_id": c_chunk,
+                    "doc_id": c_doc,
+                    "pos": c_pos,
+                    "name": c_name,
+                }
+            )
+
+    return doc_text_df.select("doc_id", "content").mapInPandas(
+        gen, schema=OCCURRENCE_NARROW_SCHEMA
+    )
 
 
 def entities_from_occurrences(occ: DataFrame) -> DataFrame:
@@ -405,15 +513,29 @@ def entities_from_occurrences(occ: DataFrame) -> DataFrame:
     Execution shape (r6): the occurrence contract makes doc_id a
     function of chunk_id and (type, score, description) functions of
     the surface name, so "first value per (chunk, name)" is exactly a
-    DISTINCT over the six columns. The former first()-aggregates put
-    strings in the aggregation buffer, which demoted the whole pass to
-    a SortAggregate over every occurrence row; distinct stays a
+    DISTINCT — over the three key columns on the narrow occurrence
+    shape (payload re-attached from the broadcast vocabulary table,
+    values bit-identical by construction), or over all six on the wide
+    custom-extractor shape. The former first()-aggregates put strings
+    in the aggregation buffer, which demoted the whole pass to a
+    SortAggregate over every occurrence row; distinct stays a
     buffer-free HashAggregate (and was the only ordering under which
     the unordered first() was deterministic in the first place)."""
-    return occ.select(
-        "chunk_id", "doc_id", F.lit("entity").alias("kind"),
-        "name", "type_or_target", "score", "description",
-    ).distinct()
+    if "type_or_target" in occ.columns:
+        return occ.select(
+            "chunk_id", "doc_id", F.lit("entity").alias("kind"),
+            "name", "type_or_target", "score", "description",
+        ).distinct()
+    payload = surface_payload_df(occ.sparkSession)
+    return (
+        occ.select("chunk_id", "doc_id", "name")
+        .distinct()
+        .join(F.broadcast(payload), "name")
+        .select(
+            "chunk_id", "doc_id", F.lit("entity").alias("kind"),
+            "name", "type_or_target", "score", "description",
+        )
+    )
 
 
 def rels_from_occurrences(occ: DataFrame, window: int = REL_WINDOW) -> DataFrame:

@@ -168,7 +168,12 @@ def surface_norm_map(mentions_raw: DataFrame) -> DataFrame:
     broadcast-joining back is constant in corpus size. Semantics are
     identical (verified by tests against the per-row column functions).
     """
-    pairs = mentions_raw.select("name", "type_or_target").distinct()
+    return _norm_flag_cols(mentions_raw.select("name", "type_or_target").distinct())
+
+
+def _norm_flag_cols(pairs: DataFrame) -> DataFrame:
+    """Attach norm_name/norm_type + precomputed low-value flags to a
+    distinct (name, type_or_target) pair frame."""
     name_lower = F.lower(F.col("norm_name"))
     low_name = F.lit(False)
     for p in LOW_VALUE_PATTERNS:
@@ -251,7 +256,25 @@ def normalize_mentions(mentions_raw: DataFrame, smap: DataFrame | None = None) -
 def materialize_surface_map(mentions_raw: DataFrame) -> DataFrame:
     """One driver-materialized surface map shared by mention and rel
     normalization (rel endpoint surfaces are a subset of entity
-    surfaces by the extractor contract)."""
+    surfaces by the extractor contract).
+
+    Narrow occurrence input (r6): rows without a ``type_or_target``
+    column come from the deterministic scanner, whose emitted surfaces
+    are by construction a subset of the alias vocabulary — so the
+    distinct (surface, messy_type) pair set is read straight off the
+    vocabulary payload table instead of a full corpus scan + distinct.
+    Non-occurring surfaces are inert: every consumer joins the map
+    INNER on surfaces that did occur (normalize_mentions/normalize_rels
+    on extraction rows, surface_to_canonical_map on the canonical map
+    built from actual mentions)."""
+    if "type_or_target" not in mentions_raw.columns:
+        from .extraction import _surface_payload_rows
+
+        pairs = mentions_raw.sparkSession.createDataFrame(
+            [(name, etype) for name, etype, _score, _desc in _surface_payload_rows()],
+            "name string, type_or_target string",
+        )
+        return _materialize_small(_norm_flag_cols(pairs), "surface_map")
     return _materialize_small(surface_norm_map(mentions_raw), "surface_map")
 
 

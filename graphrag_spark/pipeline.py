@@ -91,9 +91,15 @@ def run_in_memory(
     # 4x-larger expanded frames (InMemoryRelation preserves the cached
     # plan's output partitioning, verified in plans/r06).
     if fmt == "occurrences":
-        occ = (extractor or extraction.extract_occurrences)(chunks_base).repartition(
-            "chunk_id"
-        ).persist()
+        if extractor is None:
+            # fused chunk+scan pass (r6, guide §4.1): identical
+            # occurrence rows, but chunk text never round-trips through
+            # the JVM between two MapInPandas stages
+            occ = extraction.extract_occurrences_from_docs(
+                document_text(docs), chunk_size, overlap
+            ).repartition("chunk_id").persist()
+        else:
+            occ = extractor(chunks_base).repartition("chunk_id").persist()
         mentions_raw = extraction.entities_from_occurrences(occ)
         rels_raw = extraction.rels_from_occurrences(occ)
         extracted = mentions_raw.unionByName(rels_raw)
@@ -189,7 +195,7 @@ class KGPipeline:
                 "corpus": self.corpus_path,
                 "extractor": self.extractor_tag
                 or ("det" if self.extractor is None else "custom"),
-                "v": 2,  # v2: chunks/nodes stages carry embedding columns
+                "v": 3,  # v3: extracted stage commits narrow occurrence rows
             },
             sort_keys=True,
         )

@@ -118,3 +118,21 @@ def test_word_boundary_matching():
     name = entities[0].canonical_name
     ents, _ = parse_extraction_response(det_extract_response(f"xx{name}yy"))
     assert name not in {e["name"] for e in ents}
+
+
+def test_fused_doc_extraction_equals_chained(spark, corpus_path):
+    """r6: extract_occurrences_from_docs (chunk+scan in one Python pass)
+    must emit exactly the rows of the chained
+    chunk_documents -> extract_occurrences composition."""
+    from graphrag_spark.chunking import CHUNK_OVERLAP, CHUNK_SIZE, chunk_documents
+    from graphrag_spark.corpus import document_text
+    from graphrag_spark.extraction import (
+        extract_occurrences,
+        extract_occurrences_from_docs,
+    )
+
+    docs = document_text(spark.read.parquet(corpus_path).limit(25))
+    chained = extract_occurrences(chunk_documents(docs, CHUNK_SIZE, CHUNK_OVERLAP))
+    fused = extract_occurrences_from_docs(docs, CHUNK_SIZE, CHUNK_OVERLAP)
+    key = lambda r: (r["chunk_id"], r["doc_id"], r["pos"], r["name"])  # noqa: E731
+    assert sorted(map(key, fused.collect())) == sorted(map(key, chained.collect()))
