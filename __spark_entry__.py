@@ -1150,16 +1150,23 @@ def _q_kg_hybrid_retrieval(spark, sf_dir):
     serving route in the official artifact while keeping results
     bit-identical to the brute-force scan the SQL twin models (the
     exactness contract in similarity.IvfIndex; partial-probe pruning
-    is oracled separately by kg_vector_search's ivfq rows)."""
+    is oracled separately by kg_vector_search's ivfq rows).
+
+    Round 6 (guide §2.6 "overlap independent jobs"): the two requests
+    are INDEPENDENT — each one's eager serving jobs (index probe,
+    seed collect) previously ran strictly sequentially on the driver;
+    a two-thread pool lets the second request's jobs back-fill the
+    executor slots the first one's top-k tails leave idle. Each part's
+    plan (and therefore the returned union's rows) is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from graphrag_spark import graph_query
     from graphrag_spark.embeddings import embed_texts_np
 
     kg = _kg(spark, sf_dir)
-    parts = []
-    for qkind, qtext, vec_table in (
-        ("factual", "what is partnership", "hyq_vec"),
-        ("comparative", "compare partnership versus rollout", "hyq_vec2"),
-    ):
+
+    def one(req):
+        qkind, qtext, vec_table = req
         qvec = [float(x) for x in embed_texts_np([qtext])[0]]
         _export(
             spark.createDataFrame([(qvec,)], "qv array<double>"), sf_dir, vec_table
@@ -1169,8 +1176,19 @@ def _q_kg_hybrid_retrieval(spark, sf_dir):
             top_k=10, adjacency=kg["adjacency"],
             chunk_index=kg["chunk_index"].with_probe(kg["chunk_index"].n_centroids),
         )
-        parts.append(
-            out.select(F.lit(qkind).alias("qkind"), "chunk_id", "source", "hybrid_score")
+        return out.select(
+            F.lit(qkind).alias("qkind"), "chunk_id", "source", "hybrid_score"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        parts = list(
+            pool.map(
+                one,
+                [
+                    ("factual", "what is partnership", "hyq_vec"),
+                    ("comparative", "compare partnership versus rollout", "hyq_vec2"),
+                ],
+            )
         )
     return parts[0].unionByName(parts[1])
 
@@ -1198,17 +1216,23 @@ def bench_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid requests as kg_hybrid_retrieval, served at the REAL ANN
     config (n_probe=4 of 8 cells) — the deployment shape where each
     query's chunk side scans ~half the corpus here and
-    n_probe/n_centroids of it at scale."""
+    n_probe/n_centroids of it at scale. The two requests overlap on a
+    two-thread pool exactly like kg_hybrid_retrieval (guide §2.6)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from graphrag_spark import graph_query
 
     kg = _kg(spark, sf_dir)
-    parts = []
-    for qtext in ("what is partnership", "compare partnership versus rollout"):
-        parts.append(
-            graph_query.hybrid_retrieval(
-                kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], qtext,
-                top_k=10, adjacency=kg["adjacency"], chunk_index=kg["chunk_index"],
-            )
+
+    def one(qtext):
+        return graph_query.hybrid_retrieval(
+            kg["chunks"], kg["nodes"], kg["mentions"], kg["triples"], qtext,
+            top_k=10, adjacency=kg["adjacency"], chunk_index=kg["chunk_index"],
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        parts = list(
+            pool.map(one, ("what is partnership", "compare partnership versus rollout"))
         )
     return parts[0].unionByName(parts[1])
 

@@ -546,8 +546,10 @@ def rels_from_occurrences(occ: DataFrame, window: int = REL_WINDOW) -> DataFrame
     quadratic pair expansion before the shuffle."""
     o1 = occ.select("chunk_id", "doc_id", F.col("pos").alias("p1"), F.col("name").alias("src"))
     o2 = occ.select("chunk_id", F.col("pos").alias("p2"), F.col("name").alias("dst"))
+    # SHUFFLE_HASH: skip the per-partition sorts a default sort-merge
+    # self-join would pay on both O(corpus) sides (guide §3.1)
     pairs = (
-        o1.join(o2, "chunk_id")
+        o1.join(o2.hint("SHUFFLE_HASH"), "chunk_id")
         .filter((F.col("p2") > F.col("p1")) & (F.col("p2") - F.col("p1") <= window) & (F.col("src") != F.col("dst")))
     )
     strength = F.element_at(

@@ -194,16 +194,40 @@ def surface_to_canonical_map(smap: DataFrame, cmap: DataFrame) -> DataFrame:
 
     Driver-materialized when both inputs are provably small, so joins
     against it never re-execute the composition; falls back (flagged,
-    like the surface map itself) past the cap."""
+    like the surface map itself) past the cap.
+
+    When the surface map is already a driver literal (the common,
+    vocabulary-bounded case) the composition runs ON THE DRIVER (r6):
+    one bounded collect of the distinct cmap pairs plus a Python hash
+    join replaces a distributed two-distinct + join + collect job —
+    the inner-join multiset semantics are reproduced exactly (one
+    output row per smap pair per matching cmap pair)."""
     from .normalize import _materialize_small
 
+    if getattr(smap, "_graphrag_materialized", True):
+        cm_rows = cmap.select("name_key", "canonical_name").distinct().collect()
+        canons: dict[str, list[str]] = {}
+        for r in cm_rows:
+            canons.setdefault(r["name_key"], []).append(r["canonical_name"])
+        seen = set()
+        composed_rows = []
+        for r in smap.select("name", F.lower("norm_name").alias("name_key")).collect():
+            pair = (r["name"], r["name_key"])
+            if pair in seen:  # names distinct over (surface, name_key)
+                continue
+            seen.add(pair)
+            for canon in canons.get(r["name_key"], ()):
+                composed_rows.append((r["name"], canon))
+        out = smap.sparkSession.createDataFrame(
+            composed_rows, "surface string, canonical_name string"
+        )
+        out._graphrag_materialized = True  # type: ignore[attr-defined]
+        return out
     names = smap.select(
         F.col("name").alias("surface"), F.lower("norm_name").alias("name_key")
     ).distinct()
     cm = cmap.select("name_key", "canonical_name").distinct()
     composed = names.join(cm, "name_key").select("surface", "canonical_name")
-    if getattr(smap, "_graphrag_materialized", True):
-        return _materialize_small(composed, "surface_to_canonical")
     composed._graphrag_materialized = False  # type: ignore[attr-defined]
     return composed
 
@@ -277,7 +301,13 @@ def build_triples_from_occurrences(occ: DataFrame, s2c: DataFrame, broadcast_map
     o = occ.join(F.broadcast(m), "name").select("chunk_id", "pos", "sid")
     o1 = o.select("chunk_id", F.col("pos").alias("p1"), F.col("sid").alias("sid1"))
     o2 = o.select("chunk_id", F.col("pos").alias("p2"), F.col("sid").alias("sid2"))
-    pairs = o1.join(o2, "chunk_id").filter(
+    # SHUFFLE_HASH (r6, guide §3.1): the planner defaults this co-
+    # partitioned self-join to sort-merge, which SORTS both O(corpus)
+    # occurrence sides per partition; a per-partition hash build over
+    # the narrow (chunk_id, pos, sid) rows skips both sorts and keeps
+    # the exchange-free placement (partition-local memory stays bounded
+    # by shuffle-partition count at scale)
+    pairs = o1.join(o2.hint("SHUFFLE_HASH"), "chunk_id").filter(
         (F.col("p2") > F.col("p1"))
         & (F.col("p2") - F.col("p1") <= REL_WINDOW)
         & (F.col("sid1") != F.col("sid2"))
