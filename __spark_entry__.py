@@ -124,12 +124,24 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
         # embeddings, built once per corpus like the adjacency index —
         # retrieval's chunk side probes cells instead of scanning the
         # corpus; the cell assignment is exported so the oracle can
-        # recompute the pruned scoring independently
-        from graphrag_spark.similarity import IvfIndex
+        # recompute the pruned scoring independently.
+        # r6: served from the PERSISTED cluster=-partitioned layout, not
+        # an in-memory cells cache — a partial probe's cluster IN (...)
+        # filter prunes non-probed cells from the parquet file listing,
+        # so the indexed route's scan is O(n * n_probe / n_centroids)
+        # rather than a full cache scan + filter (the 100 TB serving
+        # shape, and it makes partial probe structurally cheaper than
+        # full probe instead of relying on the filter).
+        from graphrag_spark.similarity import IvfIndex, ivf_build_index
 
-        idx = IvfIndex.build(cache["chunks"], n_centroids=8, id_col="chunk_id", n_probe=4)
-        idx.cells = idx.cells.persist()
-        idx.cells.count()
+        ivf_path = os.path.join(_export_dir(sf_dir), "kg_chunk_ivf")
+        C = ivf_build_index(
+            cache["chunks"].select("chunk_id", "embedding"), ivf_path,
+            n_centroids=8, id_col="chunk_id", vec_col="embedding",
+        )
+        idx = IvfIndex.load(
+            spark, ivf_path, C, id_col="chunk_id", vec_col="embedding", n_probe=4
+        )
         _export(idx.cells.select("chunk_id", "cluster"), sf_dir, "kg_chunk_cells")
         cache["chunk_index"] = idx
         _KG_CACHE[sf_dir] = cache
